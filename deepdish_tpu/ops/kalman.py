@@ -1,0 +1,121 @@
+"""Constant-velocity Kalman filter over a fixed-capacity track table.
+
+TPU-native re-design of deep_sort/kalman_filter.py:23-229. The reference
+runs one scipy Cholesky solve per track per frame in a Python loop; here all
+tracks live in a `(T, 8)` mean / `(T, 8, 8)` covariance table and every step
+(initiate / predict / project / update / gating) is a single vmapped vector
+program. The 8-dim state is (x, y, a, h, vx, vy, va, vh) with dt = 1.
+
+Solves use `jax.scipy.linalg` Cholesky routines on 4x4 matrices — tiny, so
+XLA keeps them fully on-chip; numerics follow the reference's formulas
+(chi2inv95 gate, std weights 1/20 and 1/160) to allow golden-vector parity
+tests against scipy at f32 tolerance.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_solve, solve_triangular
+
+# 0.95 chi-square quantiles (deep_sort/kalman_filter.py:11-20).
+CHI2INV95 = {1: 3.8415, 2: 5.9915, 3: 7.8147, 4: 9.4877,
+             5: 11.070, 6: 12.592, 7: 14.067, 8: 15.507, 9: 16.919}
+
+_STD_WEIGHT_POSITION = 1.0 / 20
+_STD_WEIGHT_VELOCITY = 1.0 / 160
+
+
+def _motion_mat(dtype):
+    f = jnp.eye(8, dtype=dtype)
+    return f.at[jnp.arange(4), jnp.arange(4) + 4].set(1.0)
+
+
+def _update_mat(dtype):
+    return jnp.eye(4, 8, dtype=dtype)
+
+
+def initiate(measurement_xyah: jnp.ndarray):
+    """New-track state from a measurement. Ref kalman_filter.py:55-86."""
+    m = measurement_xyah
+    mean = jnp.concatenate([m, jnp.zeros_like(m)], axis=-1)
+    h = m[3]
+    std = jnp.stack([
+        2 * _STD_WEIGHT_POSITION * h,
+        2 * _STD_WEIGHT_POSITION * h,
+        jnp.asarray(1e-2, m.dtype),
+        2 * _STD_WEIGHT_POSITION * h,
+        10 * _STD_WEIGHT_VELOCITY * h,
+        10 * _STD_WEIGHT_VELOCITY * h,
+        jnp.asarray(1e-5, m.dtype),
+        10 * _STD_WEIGHT_VELOCITY * h,
+    ])
+    return mean, jnp.diag(jnp.square(std))
+
+
+def predict(mean: jnp.ndarray, covariance: jnp.ndarray):
+    """One prediction step. Ref kalman_filter.py:88-123."""
+    h = mean[3]
+    std = jnp.stack([
+        _STD_WEIGHT_POSITION * h, _STD_WEIGHT_POSITION * h,
+        jnp.asarray(1e-2, mean.dtype), _STD_WEIGHT_POSITION * h,
+        _STD_WEIGHT_VELOCITY * h, _STD_WEIGHT_VELOCITY * h,
+        jnp.asarray(1e-5, mean.dtype), _STD_WEIGHT_VELOCITY * h,
+    ])
+    motion_cov = jnp.diag(jnp.square(std))
+    f = _motion_mat(mean.dtype)
+    new_mean = f @ mean
+    new_cov = f @ covariance @ f.T + motion_cov
+    return new_mean, new_cov
+
+
+def project(mean: jnp.ndarray, covariance: jnp.ndarray):
+    """Project state to measurement space. Ref kalman_filter.py:125-152."""
+    h = mean[3]
+    std = jnp.stack([
+        _STD_WEIGHT_POSITION * h, _STD_WEIGHT_POSITION * h,
+        jnp.asarray(1e-1, mean.dtype), _STD_WEIGHT_POSITION * h,
+    ])
+    innovation_cov = jnp.diag(jnp.square(std))
+    hm = _update_mat(mean.dtype)
+    return hm @ mean, hm @ covariance @ hm.T + innovation_cov
+
+
+def update(mean: jnp.ndarray, covariance: jnp.ndarray,
+           measurement_xyah: jnp.ndarray):
+    """Measurement correction via Cholesky. Ref kalman_filter.py:154-186."""
+    projected_mean, projected_cov = project(mean, covariance)
+    chol = jnp.linalg.cholesky(projected_cov)
+    hm = _update_mat(mean.dtype)
+    # gain = (S^-1 (P H^T)^T)^T, shape (8, 4)
+    gain = cho_solve((chol, True), (covariance @ hm.T).T).T
+    innovation = measurement_xyah - projected_mean
+    new_mean = mean + innovation @ gain.T
+    new_cov = covariance - gain @ projected_cov @ gain.T
+    return new_mean, new_cov
+
+
+def gating_distance(mean: jnp.ndarray, covariance: jnp.ndarray,
+                    measurements_xyah: jnp.ndarray,
+                    only_position: bool = False):
+    """Squared Mahalanobis distance to N measurements -> (N,).
+
+    Ref kalman_filter.py:188-229.
+    """
+    pm, pc = project(mean, covariance)
+    if only_position:
+        pm, pc = pm[:2], pc[:2, :2]
+        measurements_xyah = measurements_xyah[:, :2]
+    chol = jnp.linalg.cholesky(pc)
+    d = measurements_xyah - pm
+    z = solve_triangular(chol, d.T, lower=True)
+    return jnp.sum(z * z, axis=0)
+
+
+# Table-level (vmapped) versions. Invalid slots should carry a benign state
+# (e.g. h=1) so Cholesky stays finite; callers mask results.
+initiate_v = jax.vmap(initiate)
+predict_v = jax.vmap(predict)
+project_v = jax.vmap(project)
+update_v = jax.vmap(update)
+# (T, 8), (T, 8, 8), (N, 4) -> (T, N)
+gating_distance_v = jax.vmap(gating_distance, in_axes=(0, 0, None))

@@ -1,0 +1,112 @@
+"""Fixed-capacity greedy non-max suppression, in-jit.
+
+The reference has two NMS variants, both data-dependent Python loops:
+  1. deep_sort/preprocessing.py:6-73 — class-agnostic, overlap criterion
+     ``intersection(+1px) / area(candidate)`` with area ``(w+1)*(h+1)``,
+     applied on tlwh boxes, picked in descending score order.
+  2. tools/ssd_mobilenet.py:59-98 — per-class, true-IoU criterion with
+     +1px intersection and area ``w*h``, applied on xyxy boxes.
+
+TPU-native redesign: both become fixed-trip-count `lax.fori_loop`s over a
+precomputed pairwise overlap matrix, so XLA compiles a static program.
+Variable box counts are carried as validity masks; suppressed/invalid slots
+stay in the arrays and are masked out downstream. The per-class variant uses
+the class-offset trick (boxes of different classes are translated far apart
+so cross-class overlap is exactly zero) to avoid a per-class loop.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import boxes as boxops
+
+_NEG = -jnp.inf
+
+
+def _greedy(overlap: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
+            max_overlap: float):
+    """Shared greedy loop.
+
+    overlap[i, j]: suppression metric of candidate j against picked box i.
+    Picks highest score first (ties -> highest index, matching the
+    reference's pick-from-end-of-argsort order), suppresses j when
+    overlap[i, j] > max_overlap.
+
+    Returns (order, keep):
+      order: (K,) int32, pick order; entries beyond the number of picks = -1.
+      keep:  (K,) bool keep mask.
+    """
+    k = scores.shape[0]
+    idx = jnp.arange(k, dtype=jnp.int32)
+
+    def body(step, carry):
+        alive, order = carry
+        masked = jnp.where(alive, scores, _NEG)
+        best_score = jnp.max(masked)
+        any_alive = jnp.any(alive)
+        # Highest index among ties (reference picks from end of argsort).
+        is_best = (masked == best_score) & alive
+        pick = jnp.max(jnp.where(is_best, idx, -1))
+        do_pick = any_alive & (pick >= 0)
+        order = order.at[step].set(jnp.where(do_pick, pick, -1))
+        row = overlap[jnp.maximum(pick, 0)]
+        suppress = (row > max_overlap) & do_pick
+        alive = alive & ~suppress
+        alive = alive & (idx != pick)
+        return alive, order
+
+    order0 = jnp.full((k,), -1, dtype=jnp.int32)
+    _, order = jax.lax.fori_loop(0, k, body, (valid, order0))
+    keep = jnp.zeros((k,), dtype=bool)
+    keep = jnp.where(
+        jnp.any(order[:, None] == idx[None, :], axis=0), True, keep)
+    return order, keep
+
+
+def nms_tlwh(boxes_tlwh: jnp.ndarray, scores: jnp.ndarray,
+             valid: jnp.ndarray, max_overlap: float):
+    """Class-agnostic NMS matching deep_sort/preprocessing.py:6-73.
+
+    Overlap criterion: intersection (with +1px on w/h) divided by the
+    *candidate's* area, area convention (w+1)*(h+1).
+    Returns (order, keep) as in `_greedy`.
+    """
+    tlbr = boxops.tlwh_to_tlbr(boxes_tlwh)
+    tl = jnp.maximum(tlbr[:, None, :2], tlbr[None, :, :2])
+    br = jnp.minimum(tlbr[:, None, 2:4], tlbr[None, :, 2:4])
+    wh = jnp.maximum(0.0, br - tl + 1.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area = (boxes_tlwh[:, 2] + 1.0) * (boxes_tlwh[:, 3] + 1.0)
+    overlap = inter / area[None, :]  # normalized by candidate j's area
+    return _greedy(overlap, scores, valid, max_overlap)
+
+
+def nms_xyxy_per_class(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray,
+                       classes: jnp.ndarray, valid: jnp.ndarray,
+                       iou_threshold: float, coord_span: float = 1e4):
+    """Per-class greedy NMS matching tools/ssd_mobilenet.py:59-98.
+
+    Criterion: IoU with +1px intersection and area = w*h; suppress when
+    IoU > iou_threshold. Cross-class pairs never suppress (implemented by
+    translating each class's boxes by class_id * coord_span before the
+    pairwise overlap, so their intersection is zero).
+    Returns (order, keep) as in `_greedy`.
+    """
+    offset = classes.astype(boxes_xyxy.dtype)[:, None] * coord_span
+    shifted = boxes_xyxy + jnp.concatenate(
+        [offset, jnp.zeros_like(offset), offset, jnp.zeros_like(offset)],
+        axis=-1)
+    tl = jnp.maximum(shifted[:, None, :2], shifted[None, :, :2])
+    br = jnp.minimum(shifted[:, None, 2:4], shifted[None, :, 2:4])
+    wh = jnp.maximum(0.0, br - tl + 1.0)
+    inter = wh[..., 0] * wh[..., 1]
+    w = boxes_xyxy[:, 2] - boxes_xyxy[:, 0]
+    h = boxes_xyxy[:, 3] - boxes_xyxy[:, 1]
+    area = w * h
+    denom = area[:, None] + area[None, :] - inter
+    iou = inter / jnp.where(denom == 0.0, 1.0, denom)
+    # Same-class guard (exact, independent of coord_span magnitude).
+    same = classes[:, None] == classes[None, :]
+    iou = jnp.where(same, iou, 0.0)
+    return _greedy(iou, scores, valid, iou_threshold)
