@@ -1,0 +1,139 @@
+"""Masked matching stages: appearance cascade + IoU association, in-jit.
+
+Re-design of deep_sort/linear_assignment.py:11-141 and tracker.py:95-133 for
+fixed-capacity tables. The reference builds Python index lists per cascade
+level and calls scipy per level; here each level gathers a submatrix of a
+precomputed (T, D) cost matrix into a square capacity-K problem (ordered the
+way the reference orders its lists, so LSAP tie-breaking matches), solves it
+with the in-jit JV solver, and scatters accepted matches back to slot space.
+Empty levels are skipped with `lax.cond`, so the fori_loop over `max_age`
+levels costs nothing when no track is that stale.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.assignment import solve_lsap
+from .types import TrackerConfig, CONFIRMED, TENTATIVE, INFTY_COST
+
+_BIGKEY = jnp.int32(2 ** 30)
+_PAD_COST = 7e7
+
+
+def masked_min_cost_matching(cost_full: jnp.ndarray,
+                             row_mask: jnp.ndarray,
+                             row_key: jnp.ndarray,
+                             col_mask: jnp.ndarray,
+                             max_distance: float,
+                             K: int):
+    """One min_cost_matching call (linear_assignment.py:11-75) on masked
+    rows/cols of a precomputed (T, D) cost matrix.
+
+    row_key orders the eligible rows the way the reference orders its track
+    index list (creation order / grouped), col order is ascending detection
+    index. Returns (matched_col per row slot (T,), matched per col (D,) bool).
+    """
+    T, D = cost_full.shape
+    n_rows = jnp.sum(row_mask).astype(jnp.int32)
+    n_cols = jnp.sum(col_mask).astype(jnp.int32)
+
+    rkey = jnp.where(row_mask, row_key, _BIGKEY)
+    row_perm = jnp.argsort(rkey, stable=True)            # (T,)
+    ckey = jnp.where(col_mask, jnp.arange(D, dtype=jnp.int32), _BIGKEY)
+    col_perm = jnp.argsort(ckey, stable=True)            # (D,)
+
+    # Gather into the square capacity-K problem.
+    rp = jnp.concatenate([row_perm, jnp.zeros((K - T,), row_perm.dtype)]) \
+        if K > T else row_perm[:K]
+    cp = jnp.concatenate([col_perm, jnp.zeros((K - D,), col_perm.dtype)]) \
+        if K > D else col_perm[:K]
+    sub = cost_full[rp][:, cp]
+    # Reference clamp before solving (linear_assignment.py:57).
+    sub = jnp.where(sub > max_distance, max_distance + 1e-5, sub)
+    ri = jnp.arange(K, dtype=jnp.int32)
+    sub = jnp.where((ri[:, None] < n_rows) & (ri[None, :] < n_cols),
+                    sub, _PAD_COST)
+
+    col4row = solve_lsap(sub, n_rows, n_cols)            # (K,)
+
+    # Accept matches with cost <= max_distance (linear_assignment.py:70-74).
+    got_col = col4row >= 0
+    sub_cost = sub[ri, jnp.clip(col4row, 0, K - 1)]
+    accept = got_col & (ri < n_rows) & (sub_cost <= max_distance)
+
+    det_idx = cp[jnp.clip(col4row, 0, K - 1)]
+
+    matched_col = jnp.full((T,), -1, jnp.int32)
+    scatter_slot = jnp.where(accept, rp, jnp.int32(T))  # T = OOB -> dropped
+    matched_col = matched_col.at[scatter_slot].set(det_idx, mode="drop")
+
+    col_matched = jnp.zeros((D,), bool)
+    col_scatter = jnp.where(accept, det_idx, jnp.int32(D))
+    col_matched = col_matched.at[col_scatter].set(True, mode="drop")
+    return matched_col, col_matched
+
+
+def matching_cascade(cfg: TrackerConfig,
+                     app_cost: jnp.ndarray,
+                     state: jnp.ndarray,
+                     track_id: jnp.ndarray,
+                     time_since_update: jnp.ndarray,
+                     det_valid: jnp.ndarray):
+    """Age-levelled appearance cascade (linear_assignment.py:78-141).
+
+    Returns (matched_det (T,), det_taken (D,)).
+    """
+    T, D = app_cost.shape
+    K = max(T, D)
+    confirmed = state == CONFIRMED
+
+    def body(level, carry):
+        matched_det, det_taken = carry
+        row_mask = confirmed & (time_since_update == 1 + level)
+        col_mask = det_valid & ~det_taken
+
+        def run(_):
+            mc, cm = masked_min_cost_matching(
+                app_cost, row_mask, track_id, col_mask,
+                cfg.max_cosine_distance, K)
+            return (jnp.where(mc >= 0, mc, matched_det), det_taken | cm)
+
+        return jax.lax.cond(
+            jnp.any(row_mask) & jnp.any(col_mask), run,
+            lambda _: (matched_det, det_taken), None)
+
+    matched0 = jnp.full((T,), -1, jnp.int32)
+    taken0 = jnp.zeros((D,), bool)
+    return jax.lax.fori_loop(0, cfg.max_age, body, (matched0, taken0))
+
+
+def iou_stage(cfg: TrackerConfig,
+              iou_cost: jnp.ndarray,
+              state: jnp.ndarray,
+              track_id: jnp.ndarray,
+              time_since_update: jnp.ndarray,
+              cascade_matched: jnp.ndarray,
+              det_valid: jnp.ndarray,
+              det_taken: jnp.ndarray):
+    """IoU association of unconfirmed + just-missed confirmed tracks
+    (tracker.py:119-129). Returns (matched_det (T,), det_taken (D,))."""
+    T, D = iou_cost.shape
+    K = max(T, D)
+    confirmed = state == CONFIRMED
+    tentative = state == TENTATIVE
+    unmatched_conf = confirmed & (cascade_matched < 0)
+    row_mask = tentative | (unmatched_conf & (time_since_update == 1))
+    # Reference order: unconfirmed first (creation order), then unmatched
+    # confirmed tsu==1 (ascending index, as CPython int-set iteration yields).
+    row_key = jnp.where(tentative, track_id, track_id + (_BIGKEY // 2))
+    col_mask = det_valid & ~det_taken
+
+    def run(_):
+        mc, cm = masked_min_cost_matching(
+            iou_cost, row_mask, row_key, col_mask, cfg.max_iou_distance, K)
+        return (jnp.where(mc >= 0, mc, cascade_matched), det_taken | cm)
+
+    return jax.lax.cond(
+        jnp.any(row_mask) & jnp.any(col_mask), run,
+        lambda _: (cascade_matched, det_taken), None)
