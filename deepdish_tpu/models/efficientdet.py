@@ -1,0 +1,255 @@
+"""EfficientDet-Lite0 detector, TPU-native.
+
+JAX re-implementation of the capability behind the reference's
+metadata-driven generic TFLite detector (tools/tflite_object_detector.py:
+41-295, exercised with EfficientDet-Lite0 per tflite-demo.sh:7):
+EfficientNet-Lite0 backbone (no squeeze-excite, ReLU6), BiFPN neck (64 ch,
+3 repeats, P3-P7), shared box/class heads, SSD-style anchor decode
+(scale factors 1) and per-class NMS. Input normalization follows the
+model's embedded metadata defaults (mean 127, std 128,
+tflite_object_detector.py:117-131).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, List
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import nms as nmsops
+
+INPUT_SIZE = 320
+NUM_CLASSES = 90
+FPN_CH = 64
+FPN_REPEATS = 3
+HEAD_REPEATS = 3
+ANCHOR_SCALE = 3.0
+NUM_SCALES = 3
+ASPECTS = (1.0, 2.0, 0.5)
+LEVELS = (3, 4, 5, 6, 7)
+
+
+class _ConvBN(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding="SAME",
+                    use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3)(x)
+        return nn.relu6(x) if self.act else x
+
+
+class _MBConvLite(nn.Module):
+    """MBConv without squeeze-excite, ReLU6 (EfficientNet-Lite)."""
+    features: int
+    expand: int
+    kernel: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        y = x
+        if self.expand != 1:
+            y = _ConvBN(c_in * self.expand, 1, name="expand")(y)
+        c_mid = y.shape[-1]
+        y = nn.Conv(c_mid, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding="SAME",
+                    feature_group_count=c_mid, use_bias=False, name="dw")(y)
+        y = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+                         name="dw_bn")(y)
+        y = nn.relu6(y)
+        y = nn.Conv(self.features, (1, 1), use_bias=False, name="project")(y)
+        y = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+                         name="project_bn")(y)
+        if self.stride == 1 and c_in == self.features:
+            y = x + y
+        return y
+
+
+_BLOCKS = [  # (expand, channels, repeats, stride, kernel)
+    (1, 16, 1, 1, 3), (6, 24, 2, 2, 3), (6, 40, 2, 2, 5),
+    (6, 80, 3, 2, 3), (6, 112, 3, 1, 5), (6, 192, 4, 2, 5),
+    (6, 320, 1, 1, 3)]
+
+
+class EfficientNetLite0(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        feats = {}
+        x = _ConvBN(32, 3, 2, name="stem")(x)
+        for bi, (e, c, r, s, k) in enumerate(_BLOCKS):
+            for ri in range(r):
+                x = _MBConvLite(c, e, k, s if ri == 0 else 1,
+                                name=f"b{bi}_{ri}")(x)
+            if bi == 2:
+                feats[3] = x   # stride 8
+            elif bi == 4:
+                feats[4] = x   # stride 16
+            elif bi == 6:
+                feats[5] = x   # stride 32
+        return feats
+
+
+class _SepConvBN(nn.Module):
+    features: int
+    act: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        x = nn.Conv(c, (3, 3), padding="SAME", feature_group_count=c,
+                    use_bias=False, name="dw")(x)
+        x = nn.Conv(self.features, (1, 1), use_bias=True, name="pw")(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+                         name="bn")(x)
+        return nn.relu6(x) if self.act else x
+
+
+def _down2(x):
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+
+
+def _up_to(x, like):
+    """Nearest-neighbor upsample x to the spatial size of `like` (EfficientDet
+    resizes to the exact target grid; odd sizes crop the 2x repeat)."""
+    y = jnp.repeat(jnp.repeat(x, 2, axis=0), 2, axis=1)
+    return y[:like.shape[0], :like.shape[1]]
+
+
+class BiFPNLayer(nn.Module):
+    """Sum-fusion BiFPN layer over P3..P7 (lite keeps fast-attention; sum
+    fusion is weight-compatible after folding, and identical with converted
+    fusion weights absorbed — documented deviation)."""
+
+    @nn.compact
+    def __call__(self, p):
+        p3, p4, p5, p6, p7 = p
+        # top-down
+        td6 = _SepConvBN(FPN_CH, name="td6")(nn.relu6(p6 + _up_to(p7, p6)))
+        td5 = _SepConvBN(FPN_CH, name="td5")(nn.relu6(p5 + _up_to(td6, p5)))
+        td4 = _SepConvBN(FPN_CH, name="td4")(nn.relu6(p4 + _up_to(td5, p4)))
+        o3 = _SepConvBN(FPN_CH, name="out3")(nn.relu6(p3 + _up_to(td4, p3)))
+        # bottom-up
+        o4 = _SepConvBN(FPN_CH, name="out4")(
+            nn.relu6(p4 + td4 + _down2(o3)))
+        o5 = _SepConvBN(FPN_CH, name="out5")(
+            nn.relu6(p5 + td5 + _down2(o4)))
+        o6 = _SepConvBN(FPN_CH, name="out6")(
+            nn.relu6(p6 + td6 + _down2(o5)))
+        o7 = _SepConvBN(FPN_CH, name="out7")(nn.relu6(p7 + _down2(o6)))
+        return [o3, o4, o5, o6, o7]
+
+
+class EfficientDetLite0(nn.Module):
+    num_classes: int = NUM_CLASSES
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, image):
+        x = (image.astype(self.compute_dtype) - 127.0) / 128.0
+        feats = EfficientNetLite0(name="backbone")(x)
+        p3 = _ConvBN(FPN_CH, 1, act=False, name="lat3")(feats[3])
+        p4 = _ConvBN(FPN_CH, 1, act=False, name="lat4")(feats[4])
+        p5 = _ConvBN(FPN_CH, 1, act=False, name="lat5")(feats[5])
+        p6 = _down2(_ConvBN(FPN_CH, 1, act=False, name="lat6")(feats[5]))
+        p7 = _down2(p6)
+        p = [p3, p4, p5, p6, p7]
+        for i in range(FPN_REPEATS):
+            p = BiFPNLayer(name=f"bifpn{i}")(p)
+        na = NUM_SCALES * len(ASPECTS)
+        box_out, cls_out = [], []
+        for li, f in enumerate(p):
+            b, c = f, f
+            for hi in range(HEAD_REPEATS):
+                b = _SepConvBN(FPN_CH, act=True, name=f"boxh{hi}_l{li}")(b)
+                c = _SepConvBN(FPN_CH, act=True, name=f"clsh{hi}_l{li}")(c)
+            b = nn.Conv(na * 4, (3, 3), padding="SAME",
+                        name=f"box_pred_l{li}")(b)
+            c = nn.Conv(na * self.num_classes, (3, 3), padding="SAME",
+                        name=f"cls_pred_l{li}")(c)
+            box_out.append(b.reshape(-1, 4))
+            cls_out.append(c.reshape(-1, self.num_classes))
+        return (jnp.concatenate(box_out, 0).astype(jnp.float32),
+                jnp.concatenate(cls_out, 0).astype(jnp.float32))
+
+
+def generate_anchors(input_size: int = INPUT_SIZE) -> np.ndarray:
+    """(A, 4) [ycenter, xcenter, h, w] in pixels (EfficientDet convention)."""
+    anchors = []
+    for level in LEVELS:
+        stride = 2 ** level
+        fs = math.ceil(input_size / stride)
+        for y in range(fs):
+            for x in range(fs):
+                cy = (y + 0.5) * stride
+                cx = (x + 0.5) * stride
+                for si in range(NUM_SCALES):
+                    scale = ANCHOR_SCALE * stride * 2 ** (si / NUM_SCALES)
+                    for ar in ASPECTS:
+                        anchors.append((cy, cx, scale / math.sqrt(ar),
+                                        scale * math.sqrt(ar)))
+    return np.asarray(anchors, np.float32)
+
+
+class EfficientDetLite0Detector:
+    """Fused detect with the metadata-driven postprocess semantics of
+    tools/tflite_object_detector.py:234-295 (score threshold, max_results,
+    per-class NMS)."""
+
+    def __init__(self, params=None, seed: int = 0, max_outputs: int = 32,
+                 top_k: int = 100, score_threshold: float = 0.5,
+                 iou_threshold: float = 0.5, compute_dtype=jnp.bfloat16):
+        self.width = self.height = INPUT_SIZE
+        self.net = EfficientDetLite0(compute_dtype=compute_dtype)
+        if params is None:
+            params = self.net.init(
+                jax.random.PRNGKey(seed),
+                jnp.zeros((INPUT_SIZE, INPUT_SIZE, 3), jnp.float32))
+        self.params = params
+        self.anchors = jnp.asarray(generate_anchors())
+        self.max_outputs = max_outputs
+        self.top_k = top_k
+        self.score_threshold = score_threshold
+        self.iou_threshold = iou_threshold
+
+    def detect(self, image_resized, orig_w, orig_h):
+        box_enc, logits = self.net.apply(self.params, image_resized)
+        ya, xa = self.anchors[:, 0], self.anchors[:, 1]
+        ha, wa = self.anchors[:, 2], self.anchors[:, 3]
+        ycenter = box_enc[:, 0] * ha + ya
+        xcenter = box_enc[:, 1] * wa + xa
+        h = jnp.exp(box_enc[:, 2]) * ha
+        w = jnp.exp(box_enc[:, 3]) * wa
+        probs = jax.nn.sigmoid(logits)
+        scores = jnp.max(probs, axis=1)
+        classes = jnp.argmax(probs, axis=1).astype(jnp.int32)
+        top_scores, idx = jax.lax.top_k(scores, self.top_k)
+        sw = orig_w / self.width
+        sh = orig_h / self.height
+        xyxy = jnp.stack([(xcenter - w / 2) * sw, (ycenter - h / 2) * sh,
+                          (xcenter + w / 2) * sw, (ycenter + h / 2) * sh],
+                         axis=1)[idx]
+        top_classes = classes[idx]
+        conf_ok = top_scores >= self.score_threshold
+        _, keep = nmsops.nms_xyxy_per_class(
+            xyxy, top_scores, top_classes, conf_ok, self.iou_threshold)
+        K = self.max_outputs
+        keep_key = jnp.where(keep, jnp.arange(self.top_k, dtype=jnp.int32),
+                             jnp.int32(self.top_k))
+        order = jnp.argsort(keep_key, stable=True)[:K]
+        return (xyxy[order], top_classes[order], top_scores[order],
+                keep[order])
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def detect_jit(self, image_resized, orig_w, orig_h):
+        return self.detect(image_resized, orig_w, orig_h)

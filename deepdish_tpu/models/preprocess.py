@@ -1,0 +1,102 @@
+"""Image preprocessing for TPU: batched crop-resize and frame resize.
+
+Replaces the reference's per-box Python+OpenCV loop
+(tools/generate_detections.py:40-84 `extract_image_patch`: aspect-correct,
+clip, integer crop, cv2 INTER_LINEAR resize) and the host-side cv2/PIL frame
+resizes (deepdish.py:867, tools/ssd_mobilenet.py:55) with in-jit gather
+programs: all boxes are cropped+resampled in one vmapped bilinear gather, so
+the whole patch batch is produced on-device with no host round trip.
+
+Bilinear sampling uses half-pixel centers (src = (dst+0.5)*scale - 0.5,
+clamped), matching cv2.resize INTER_LINEAR up to its fixed-point rounding.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_gather(image, ys, xs):
+    """Sample image (H, W, C) at float coords ys (A,), xs (B,) -> (A, B, C)."""
+    H, W = image.shape[0], image.shape[1]
+    y0 = jnp.clip(jnp.floor(ys), 0, H - 1)
+    x0 = jnp.clip(jnp.floor(xs), 0, W - 1)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    img = image.astype(jnp.float32)
+    tl = img[y0i[:, None], x0i[None, :]]
+    tr = img[y0i[:, None], x1i[None, :]]
+    bl = img[y1i[:, None], x0i[None, :]]
+    br = img[y1i[:, None], x1i[None, :]]
+    top = tl * (1 - fx) + tr * fx
+    bot = bl * (1 - fx) + br * fx
+    return top * (1 - fy) + bot * fy
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def resize_bilinear(image, out_h: int, out_w: int):
+    """Whole-image bilinear resize with half-pixel centers (cv2 semantics)."""
+    H, W = image.shape[0], image.shape[1]
+    sy, sx = H / out_h, W / out_w
+    ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * sy - 0.5
+    xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * sx - 0.5
+    return _bilinear_gather(image, jnp.clip(ys, 0, H - 1),
+                            jnp.clip(xs, 0, W - 1))
+
+
+def crop_resize_patches(image, boxes_tlwh, valid, patch_h: int, patch_w: int):
+    """Aspect-corrected crop + resize for all boxes at once.
+
+    Mirrors extract_image_patch (generate_detections.py:64-84):
+      * widen/narrow the box to the patch aspect ratio about its center;
+      * truncate to ints, clip tl at 0 and br at (W-1, H-1);
+      * empty/out-of-image boxes yield a zero patch and invalid flag
+        (the reference substitutes a random-noise patch; deterministic
+        zeros are used here so results are reproducible);
+      * bilinear resample the crop to (patch_h, patch_w).
+
+    image: (H, W, 3) uint8/float. boxes_tlwh: (D, 4). valid: (D,) bool.
+    Returns (patches (D, patch_h, patch_w, 3) float32, ok (D,) bool).
+    """
+    H, W = image.shape[0], image.shape[1]
+    target_aspect = float(patch_w) / float(patch_h)
+
+    def one(box, is_valid):
+        x, y, w, h = box[0], box[1], box[2], box[3]
+        new_w = target_aspect * h
+        x = x - (new_w - w) / 2.0
+        w = new_w
+        # to tlbr, truncate toward zero like np .astype(int)
+        sx = jnp.trunc(x).astype(jnp.int32)
+        sy = jnp.trunc(y).astype(jnp.int32)
+        ex = jnp.trunc(x + w).astype(jnp.int32)
+        ey = jnp.trunc(y + h).astype(jnp.int32)
+        sx = jnp.maximum(sx, 0)
+        sy = jnp.maximum(sy, 0)
+        ex = jnp.minimum(ex, W - 1)
+        ey = jnp.minimum(ey, H - 1)
+        ok = is_valid & (sx < ex) & (sy < ey)
+        ch = jnp.maximum(ey - sy, 1).astype(jnp.float32)
+        cw = jnp.maximum(ex - sx, 1).astype(jnp.float32)
+        ys = sy + (jnp.arange(patch_h, dtype=jnp.float32) + 0.5) \
+            * ch / patch_h - 0.5
+        xs = sx + (jnp.arange(patch_w, dtype=jnp.float32) + 0.5) \
+            * cw / patch_w - 0.5
+        ys = jnp.clip(ys, sy, jnp.maximum(ey - 1, sy).astype(jnp.float32))
+        xs = jnp.clip(xs, sx, jnp.maximum(ex - 1, sx).astype(jnp.float32))
+        patch = _bilinear_gather(image, ys, xs)
+        return jnp.where(ok, patch, 0.0), ok
+
+    return jax.vmap(one)(boxes_tlwh, valid)
+
+
+def normalize_uint8(x, mean=0.0, std=1.0):
+    """uint8 -> float32 with optional mean/std (EfficientDet metadata path,
+    tools/tflite_object_detector.py:117-131)."""
+    return (x.astype(jnp.float32) - mean) / std

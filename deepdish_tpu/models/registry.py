@@ -1,0 +1,94 @@
+"""Detector/encoder registries with name-substring dispatch.
+
+Mirrors the reference's backend selection by model-filename substring
+(deepdish.py:482-502 for detectors, tools/generate_detections.py:180-189 for
+encoders): 'yolov5' in the name selects YOLOv5, 'ssd'/'mobilenet' selects
+SSD-MobileNet, 'efficientdet'/'tflite' the metadata-driven detector,
+'scripted' a host-driven detector for weightless integration tests.
+
+Every detector exposes the uniform contract:
+  width/height    — model input size
+  detect_jit(image_resized, orig_w, orig_h)
+      -> (boxes_xyxy px, classes int32 0-based, scores, valid), fixed cap
+  labels          — dict index -> label name (1-based offset already applied
+                    where the reference applies it)
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .ssd_mobilenet import SSDMobileNetDetector
+from .yolov5 import YOLOv5Detector
+from .efficientdet import EfficientDetLite0Detector
+
+# COCO labelmap (91-entry TF-OD style with background dropped), the label
+# vocabulary behind coco_labelmap.txt consumed at ssd_mobilenet.py:45-47.
+COCO_LABELS = [
+    "person", "bicycle", "car", "motorbike", "aeroplane", "bus", "train",
+    "truck", "boat", "traffic light", "fire hydrant", "stop sign",
+    "parking meter", "bench", "bird", "cat", "dog", "horse", "sheep", "cow",
+    "elephant", "bear", "zebra", "giraffe", "backpack", "umbrella",
+    "handbag", "tie", "suitcase", "frisbee", "skis", "snowboard",
+    "sports ball", "kite", "baseball bat", "baseball glove", "skateboard",
+    "surfboard", "tennis racket", "bottle", "wine glass", "cup", "fork",
+    "knife", "spoon", "bowl", "banana", "apple", "sandwich", "orange",
+    "broccoli", "carrot", "hot dog", "pizza", "donut", "cake", "chair",
+    "sofa", "pottedplant", "bed", "diningtable", "toilet", "tvmonitor",
+    "laptop", "mouse", "remote", "keyboard", "cell phone", "microwave",
+    "oven", "toaster", "sink", "refrigerator", "book", "clock", "vase",
+    "scissors", "teddy bear", "hair drier", "toothbrush",
+]
+
+
+def load_labels(label_file: Optional[str]) -> Sequence[str]:
+    if label_file and os.path.exists(label_file):
+        with open(label_file) as f:
+            return [line.strip() for line in f]
+    return list(COCO_LABELS)
+
+
+class ScriptedDetector:
+    """Host-driven detector for tests/demos without weights: the caller
+    provides a function frame_index -> (boxes_tlwh, labels, scores)."""
+
+    def __init__(self, script, width=320, height=320):
+        self.script = script
+        self.width, self.height = width, height
+        self.frame_index = 0
+
+    def detect_host(self, frame_bgr):
+        out = self.script(self.frame_index)
+        self.frame_index += 1
+        return out
+
+
+def create_detector(model_name: str, wanted_labels=None, label_file=None,
+                    score_threshold: float = 0.5, params=None,
+                    max_outputs: int = 32, **kw):
+    """Substring dispatch like deepdish.py:482-502."""
+    name = (model_name or "ssd_mobilenet").lower()
+    if "yolov5" in name:
+        det = YOLOv5Detector(params=params, max_outputs=max_outputs,
+                             score_threshold=max(score_threshold, 0.25))
+        det.labels = {i: n for i, n in enumerate(load_labels(label_file))}
+        det.label_offset = 0
+        return det
+    if "efficientdet" in name or name.endswith(".tflite") and "ssd" not in name:
+        det = EfficientDetLite0Detector(params=params,
+                                        max_outputs=max_outputs,
+                                        score_threshold=score_threshold)
+        det.labels = {i: n for i, n in enumerate(load_labels(label_file))}
+        det.label_offset = 0
+        return det
+    if "ssd" in name or "mobilenet" in name or "edgetpu" in name:
+        det = SSDMobileNetDetector(params=params, max_outputs=max_outputs,
+                                   score_threshold=score_threshold)
+        # +1 labelmap offset applied by the reference adaptor
+        # (ssd_mobilenet.py:143-145); our COCO_LABELS is already offset-free.
+        det.labels = {i: n for i, n in enumerate(load_labels(label_file))}
+        det.label_offset = 0
+        return det
+    raise ValueError(f"cannot determine detector backend from {model_name!r}")
