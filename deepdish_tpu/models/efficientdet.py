@@ -222,8 +222,8 @@ class EfficientDetLite0Detector:
         self.score_threshold = score_threshold
         self.iou_threshold = iou_threshold
 
-    def detect(self, image_resized, orig_w, orig_h):
-        box_enc, logits = self.net.apply(self.params, image_resized)
+    def detect(self, params, image_resized, orig_w, orig_h):
+        box_enc, logits = self.net.apply(params, image_resized)
         ya, xa = self.anchors[:, 0], self.anchors[:, 1]
         ha, wa = self.anchors[:, 2], self.anchors[:, 3]
         ycenter = box_enc[:, 0] * ha + ya
@@ -252,4 +252,4 @@ class EfficientDetLite0Detector:
 
     @functools.partial(jax.jit, static_argnums=0)
     def detect_jit(self, image_resized, orig_w, orig_h):
-        return self.detect(image_resized, orig_w, orig_h)
+        return self.detect(self.params, image_resized, orig_w, orig_h)

@@ -20,26 +20,33 @@ from .preprocess import crop_resize_patches
 
 class EncoderSpec:
     """Uniform encoder interface: image_shape (H, W, C), feature_dim, and
-    `apply(patches) -> (N, feature_dim)` plus a fused
-    `encode_boxes(image, boxes_tlwh, valid) -> (D, feature_dim)` that does
-    crop-resize + forward in one traceable program."""
+    `apply(patches, params=None) -> (N, feature_dim)` plus a fused
+    `encode_boxes(image, boxes_tlwh, valid, params=None)` that does
+    crop-resize + forward in one traceable program. `params` is the weight
+    pytree for learned encoders (None for the weightless fakes)."""
 
     def __init__(self, image_shape, feature_dim, apply_fn):
         self.image_shape = image_shape
         self.height, self.width = image_shape[0], image_shape[1]
         self.feature_dim = feature_dim
-        self.apply = apply_fn
+        self._apply_fn = apply_fn
+        self.params = None
 
-    def encode_boxes(self, image, boxes_tlwh, valid):
+    def apply(self, patches, params=None):
+        return self._apply_fn(params if params is not None else self.params,
+                              patches)
+
+    def encode_boxes(self, image, boxes_tlwh, valid, params=None):
         patches, ok = crop_resize_patches(
             image, boxes_tlwh, valid, self.height, self.width)
-        feats = self.apply(patches)
+        feats = self.apply(patches, params)
         return jnp.where(ok[:, None], feats, 0.0), ok
 
 
-def _dummy_apply(patches):
+def _dummy_apply(params, patches):
     """generate_detections.py:86-105: mean over channels, center at 128,
     L2 normalize; zero-norm rows become e0."""
+    del params
     mat = jnp.mean(patches.astype(jnp.float32), axis=3)
     mat = mat.reshape((mat.shape[0], -1)) - 128.0
     norm = jnp.linalg.norm(mat, axis=1, keepdims=True)
@@ -47,8 +54,9 @@ def _dummy_apply(patches):
     return jnp.where(norm == 0.0, e0, mat / jnp.where(norm == 0.0, 1.0, norm))
 
 
-def _constant_apply(patches):
+def _constant_apply(params, patches):
     """generate_detections.py:107-116: constant e0 feature."""
+    del params
     out = jnp.zeros((patches.shape[0], FEATURE_DIM), jnp.float32)
     return out.at[:, 0].set(1.0)
 
@@ -72,10 +80,10 @@ def make_mars_encoder(params=None, seed: int = 0,
         params = net.init(jax.random.PRNGKey(seed),
                           jnp.zeros((1,) + INPUT_SHAPE, jnp.float32))
 
-    def apply_fn(patches):
+    def apply_fn(p, patches):
         # BGR->RGB flip is identity for our RGB host pipeline; the reference
         # flips because its cv2 frames are BGR (freeze_model.py:175-177).
-        return net.apply(params, patches)
+        return net.apply(p, patches)
 
     spec = EncoderSpec(INPUT_SHAPE, FEATURE_DIM, apply_fn)
     spec.params = params

@@ -172,11 +172,11 @@ class SSDMobileNetDetector:
         self.score_threshold = score_threshold
         self.iou_threshold = iou_threshold
 
-    def detect(self, image_resized, orig_w, orig_h):
+    def detect(self, params, image_resized, orig_w, orig_h):
         """image_resized: (300, 300, 3) float/uint8. Returns fixed-capacity
         (boxes_xyxy (K, 4) in original-image pixels, classes (K,) int32
         0-based, scores (K,), valid (K,) bool), K = max_outputs."""
-        box_enc, logits = self.net.apply(self.params, image_resized)
+        box_enc, logits = self.net.apply(params, image_resized)
         boxes = decode_boxes(box_enc, self.anchors)
         probs = jax.nn.sigmoid(logits)[:, 1:]  # strip background
         scores = jnp.max(probs, axis=1)
@@ -209,4 +209,4 @@ class SSDMobileNetDetector:
 
     @functools.partial(jax.jit, static_argnums=0)
     def detect_jit(self, image_resized, orig_w, orig_h):
-        return self.detect(image_resized, orig_w, orig_h)
+        return self.detect(self.params, image_resized, orig_w, orig_h)

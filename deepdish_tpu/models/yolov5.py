@@ -178,10 +178,10 @@ class YOLOv5Detector:
         self.score_threshold = score_threshold
         self.input_size = input_size
 
-    def detect(self, image_resized, orig_w, orig_h):
+    def detect(self, params, image_resized, orig_w, orig_h):
         """Returns fixed-capacity (boxes_xyxy (K, 4) pixels, classes (K,)
         int32, scores (K,), valid (K,))."""
-        heads = self.net.apply(self.params, image_resized)
+        heads = self.net.apply(params, image_resized)
         rows = jnp.concatenate([
             decode_head(h, jnp.asarray(ANCHORS[i]), STRIDES[i],
                         self.input_size)
@@ -203,4 +203,4 @@ class YOLOv5Detector:
 
     @functools.partial(jax.jit, static_argnums=0)
     def detect_jit(self, image_resized, orig_w, orig_h):
-        return self.detect(image_resized, orig_w, orig_h)
+        return self.detect(self.params, image_resized, orig_w, orig_h)

@@ -1,0 +1,52 @@
+"""Fused frame-step program tests: smoke + chunk/sequential equivalence."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from deepdish_tpu import tracker as tt
+from deepdish_tpu.models import create_box_encoder, create_detector
+from deepdish_tpu.pipeline import FrameStep, FrameStepConfig
+
+
+@pytest.fixture(scope="module")
+def fs():
+    det = create_detector("ssd_mobilenet", max_outputs=16,
+                          score_threshold=0.3)
+    enc = create_box_encoder("dummy")
+    cfg = tt.TrackerConfig(max_tracks=16, max_detections=8,
+                           gallery_size=32, num_labels=4, max_age=10)
+    return FrameStep(det, enc, cfg, ["person", "car"], (96, 128),
+                     FrameStepConfig(score_threshold=0.3))
+
+
+def _frames(n, rng):
+    return rng.randint(0, 255, size=(n, 96, 128, 3)).astype(np.uint8)
+
+
+def test_single_step_smoke(fs, rng):
+    table = fs.init_table()
+    table, out, snap = fs.step(table, _frames(1, rng)[0])
+    assert np.asarray(out.track_id).shape == (16,)
+    assert np.asarray(snap.tlwh).shape == (8, 4)
+    assert np.isfinite(np.asarray(out.tlwh)).all()
+
+
+def test_chunk_equals_sequential(fs, rng):
+    frames = _frames(6, rng)
+    t1 = fs.init_table()
+    seq_states = []
+    for f in frames:
+        t1, out, _ = fs.step(t1, f)
+        seq_states.append((np.asarray(out.track_id).copy(),
+                           np.asarray(out.state).copy()))
+    t2 = fs.init_table()
+    t2, outs, snaps = fs.run_chunk(t2, frames)
+    ids = np.asarray(outs.track_id)
+    states = np.asarray(outs.state)
+    for i, (want_id, want_state) in enumerate(seq_states):
+        np.testing.assert_array_equal(ids[i], want_id, err_msg=f"frame {i}")
+        np.testing.assert_array_equal(states[i], want_state)
+    # final tables agree
+    np.testing.assert_array_equal(np.asarray(t1.state), np.asarray(t2.state))
+    np.testing.assert_allclose(np.asarray(t1.mean), np.asarray(t2.mean),
+                               rtol=1e-4, atol=1e-3)
