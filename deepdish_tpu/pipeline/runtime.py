@@ -1,0 +1,729 @@
+"""The asyncio pipeline runtime.
+
+TPU-native re-design of the reference Pipeline (deepdish.py:446-1345). The
+reference runs five asyncio stages (capture -> detect -> encode -> track ->
+results -> render) with each ML step separately dispatched to threads; here
+detection + embedding + tracking are ONE fused device program
+(pipeline.framestep), so the stage graph collapses to:
+
+    capthread -> capture -> infer(device) -> results(analytics) -> render
+
+connected by the same bounded queues / FreshQueue freshness semantics, with
+the same per-frame timing taxonomy (fcap/fram/q1/bsub/objd/q2/ienc/feat/q3/
+trak/q4/proc/q5/disp + sum/e2e/miss/f2f, deepdish.py:975-1281). The stage
+latencies the fused program absorbs (bsub/ienc/feat/trak) are reported as 0
+and their cost shows up in `objd` — the device-step wall time.
+
+Offline throughput mode: with --chunk-size F > 1, the infer stage batches F
+frames per dispatch (vmapped detector + lax.scan tracker), which is how the
+1000-FPS offline target is reached; live mode keeps F=1 for latency.
+"""
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+import threading
+from collections import deque
+from time import asctime, localtime, sleep, time
+from typing import List, Optional
+
+import cv2
+import numpy as np
+from PIL import Image, ImageDraw
+
+try:
+    import psutil
+except ImportError:  # pragma: no cover
+    psutil = None
+
+from .. import tracker as tt
+from ..models import create_box_encoder, create_detector
+from .camera3d import GroundCamera
+from .counting import CountingState
+from .elements import (CameraCountLine, CameraImage, CountingStats,
+                       DetectedObject, FontLib, FrameInfo, PipelineInfo,
+                       RenderInfo, TempInfo, TimingInfo, TopDownObj,
+                       TopDownView, TrackedObject, TrackedPath,
+                       TrackedPathIntersection)
+from .framestep import FrameStep, FrameStepConfig
+from .mjpeg import MJPEGServer, StreamingInfo
+from .mqtt import MQTTClient
+
+
+class MBox:
+    """1-slot mutex mailbox (deepdish.py:79-93)."""
+
+    def __init__(self):
+        self.message = None
+        self.lock = threading.Lock()
+
+    def get_message(self):
+        with self.lock:
+            return self.message
+
+    def set_message(self, message):
+        with self.lock:
+            self.message = message
+
+
+def capthread_f(cap, kickstart, box, everyframe, interframe_interval, simcam):
+    """Blocking capture loop in its own thread (deepdish.py:95-129),
+    including the adaptive inter-frame delay."""
+    count = 0
+    delay = interframe_interval
+    try:
+        kickstart.wait()
+        prev_t = time()
+        ret = True
+        while ret:
+            t1 = time()
+            ret, frame = cap.read()
+            if not ret:
+                frame = None
+            elif simcam:
+                frame = cv2.resize(frame, tuple(simcam))
+            t2 = time()
+            dt = t2 - prev_t
+            prev_t = t2
+            count += 1
+            box.set_message((count, frame, t2, t2 - t1))
+            if everyframe is not None:
+                everyframe.wait()
+                everyframe.clear()
+            elif interframe_interval is not None and frame is not None:
+                if dt < interframe_interval:
+                    delay += 0.001
+                elif dt > interframe_interval:
+                    delay -= 0.001
+                delay = max(0, delay)
+                sleep(delay)
+    finally:
+        cap.release()
+
+
+class FreshQueue(asyncio.Queue):
+    """Queue keeping only the newest item (deepdish.py:192-203)."""
+
+    def _init(self, maxsize):
+        self._queue = []
+
+    def _put(self, item):
+        self._queue = [item]
+
+    def _get(self):
+        item = self._queue[0]
+        self._queue = []
+        return item
+
+    def full(self):
+        return False
+
+
+class Pipeline:
+    """Host orchestrator around the fused device program."""
+
+    def __init__(self, args):
+        self.args = args
+        self.process = psutil.Process() if psutil else None
+        self.running = False
+
+        self.wanted_labels = args.wanted_labels.strip().split(',')
+
+        self._init_camera()
+        self._init_output()
+
+        # device programs
+        self.detector = create_detector(
+            args.model, wanted_labels=self.wanted_labels,
+            label_file=args.labels, score_threshold=args.score_threshold,
+            max_outputs=max(args.max_detections, 32))
+        enc_name = args.encoder_model or 'mars-64x32x3.pb'
+        self.encoder = create_box_encoder(enc_name)
+        self.tracker_cfg = tt.TrackerConfig(
+            max_tracks=args.max_tracks,
+            max_detections=args.max_detections,
+            feature_dim=self.encoder.feature_dim,
+            gallery_size=args.gallery_size,
+            num_labels=max(len(self.wanted_labels), 1),
+            max_cosine_distance=args.max_cosine_distance,
+            max_iou_distance=args.max_iou_distance,
+            max_age=args.max_age)
+        w, h = self.input_size
+        self.framestep = FrameStep(
+            self.detector, self.encoder, self.tracker_cfg,
+            self.wanted_labels, (h, w),
+            FrameStepConfig(nms_max_overlap=args.nms_max_overlap,
+                            score_threshold=args.score_threshold))
+        self.table = self.framestep.init_table()
+
+        # analytics
+        self.counting = CountingState(self.wanted_labels,
+                                      self.cameracountline)
+        self.data_lock = asyncio.Lock()
+        self.framenum_committed = 0
+        self.frame_count = 0
+        self.final_frame = None
+        self.pipeline_sem = asyncio.Semaphore()
+
+        # log / restore (deepdish.py:545-561)
+        self.log = args.log
+        if self.log is not None:
+            if args.restore_from_log and os.path.exists(self.log):
+                with open(self.log) as f:
+                    q = deque(f, 1)
+                    if q:
+                        data = json.loads(q.pop())
+                        self.counting.restore(data)
+                        self.frame_count = data.get('frame_count', 0)
+            else:
+                with open(self.log, mode='w+') as f:
+                    f.truncate()
+
+        # MQTT
+        self.mqtt: Optional[MQTTClient] = None
+        self.topic = args.mqtt_topic
+        self.mqtt_acp_id = args.mqtt_acp_id
+        self.heartbeat_delay_secs = args.heartbeat_delay_secs
+
+        # web stream
+        self.streaminfo = StreamingInfo()
+        self.webserver: Optional[MJPEGServer] = None
+
+        # 3-D mode (deepdish.py:589-611)
+        self.cam = None
+        self.topdownview = None
+        self.topdownview_scalefactors = None
+        if args.three_d:
+            if None in (args.focallength_mm, args.sensor_width_mm,
+                        args.sensor_height_mm, args.elevation_m,
+                        args.tilt_deg):
+                raise ValueError('3-D transform requires focallength, '
+                                 'sensor size, camera elevation and tilt.')
+            self.cam = GroundCamera(
+                args.focallength_mm,
+                (args.sensor_width_mm, args.sensor_height_mm),
+                self.input_size, args.elevation_m, args.tilt_deg,
+                args.roll_deg)
+            defaultviewsize = ((0, 0), (w / 4, h / 4))
+            self.topdownview = defaultviewsize
+            if args.topdownview_size_m is not None:
+                size = np.array(list(map(
+                    int, args.topdownview_size_m.strip().split(','))),
+                    dtype=float)
+                self.topdownview_scalefactors = \
+                    np.array(defaultviewsize[1], dtype=float) / size
+            else:
+                self.topdownview_scalefactors = np.array([1, 1])
+
+        # powersave (deepdish.py:582-587)
+        self.powersave_delay = 0.0
+        self.powersave_delay_maximum = args.powersave_delay_maximum / 1000.0
+        self.powersave_delay_increment = (
+            0 if args.disable_powersaving
+            else args.powersave_delay_increment / 1000.0)
+
+        # temperature / frequency sources (deepdish.py:565-580)
+        self.cpu_temp_file = args.cpu_temp_file or \
+            '/sys/class/thermal/thermal_zone0/temp'
+        if not os.path.exists(self.cpu_temp_file):
+            self.cpu_temp_file = None
+        self.cpu_freq_file = args.cpu_freq_file or \
+            '/sys/devices/system/cpu/cpu0/cpufreq/scaling_cur_freq'
+        if not os.path.exists(self.cpu_freq_file):
+            self.cpu_freq_file = None
+        self.cpu_governor = None
+
+        self.t_prev = None
+        self.loop = None
+
+    # ------------------------------------------------------------------
+    def _init_camera(self):
+        args = self.args
+        self.simcam = None
+        self.everyframe = None
+        self.input = args.input
+        if args.input_cvat_dir is not None:
+            self.input = os.path.join(args.input_cvat_dir,
+                                      'images/frame_%06d.jpg')
+            self.everyframe = threading.Event()
+            args.disable_powersaving = True
+        elif self.input is None:
+            self.input = args.gstreamer if args.gstreamer is not None \
+                else args.camera
+        else:
+            if args.simulate_camera:
+                simcam = [int(n) for n in args.simulate_camera]
+                if len(simcam) == 1:
+                    simcam = [simcam[0], simcam[0]]
+                self.simcam = simcam[:2]
+            if args.interframe_interval is None:
+                self.everyframe = threading.Event()
+            args.disable_powersaving = True
+
+        self.cap = cv2.VideoCapture(self.input)
+        self.cap.set(cv2.CAP_PROP_BUFFERSIZE, 1)
+        self.input_size = (int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+                           int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT)))
+        if self.simcam:
+            self.input_size = tuple(self.simcam)
+            real = (int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+                    int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT)))
+            self.trackdata_ratios = (real[0] / self.simcam[0],
+                                     real[1] / self.simcam[1])
+        else:
+            self.trackdata_ratios = (1, 1)
+        if self.input_size[0] <= 0:
+            self.input_size = (args.camera_width, args.camera_height)
+        # countline default: vertical at w/2 (deepdish.py:739-743)
+        if args.line is None:
+            w, h = self.input_size
+            self.countline = np.array([[w / 2, 0], [w / 2, h]], dtype=int)
+        else:
+            self.countline = np.array(
+                list(map(int, args.line.strip().split(','))),
+                dtype=int).reshape(2, 2)
+        self.cameracountline = self.countline.astype(float)
+
+    def _init_output(self):
+        args = self.args
+        self.output = None
+        self.backbuf = None
+        self.draw = None
+        if args.disable_graphics:
+            return
+        fourcc = cv2.VideoWriter_fourcc(*'MP4V')
+        fps = self.cap.get(cv2.CAP_PROP_FPS) or 15
+        self.backbuf = Image.new("RGBA", self.input_size, (0, 0, 0, 0))
+        self.draw = ImageDraw.Draw(self.backbuf)
+        if args.output_cvat_dir is not None:
+            outpath = os.path.join(args.output_cvat_dir, 'images',
+                                   'frame_%06d.jpg')
+            os.makedirs(os.path.dirname(outpath), exist_ok=True)
+            self.output = cv2.VideoWriter(outpath, 0, 0, self.input_size)
+        elif args.output:
+            self.output = cv2.VideoWriter(args.output, fourcc, fps,
+                                          self.input_size)
+        self.fontlib = FontLib(self.input_size[0])
+
+    # ------------------------------------------------------------------
+    async def get_cpu_temp(self):
+        if not self.cpu_temp_file:
+            return None
+        try:
+            with open(self.cpu_temp_file) as f:
+                return float(f.read()) / 1000
+        except (OSError, ValueError):
+            return None
+
+    async def get_cpu_freq(self):
+        if not self.cpu_freq_file:
+            return None
+        try:
+            with open(self.cpu_freq_file) as f:
+                return int(f.read())
+        except (OSError, ValueError):
+            return None
+
+    # ------------------------------------------------------------------
+    async def init_mqtt(self):
+        args = self.args
+        if args.mqtt_broker is None:
+            return
+        import platform as _platform
+        self.mqtt = MQTTClient('deepdish-' + _platform.node(),
+                               args.mqtt_broker, args.mqtt_port,
+                               username=args.mqtt_user,
+                               password=args.mqtt_pass)
+        if self.topic is None:
+            self.topic = 'default/topic'
+        print('Waiting to connect to MQTT broker.')
+        await self.mqtt.connect()
+        if args.mqtt_verbosity > 1:
+            payload = {
+                'acp_ts': str(time()), 'acp_event': 'initialisation',
+                'acp_id': self.mqtt_acp_id, 'model': args.model,
+                'model_class': type(self.detector).__name__,
+                'encoder_model': args.encoder_model,
+                'encoder_model_class': type(self.encoder).__name__,
+                'input': self.input, 'use_edgetpu': False,
+                'input_shape': [self.detector.width, self.detector.height],
+                'encoder_input_shape': [self.encoder.width,
+                                        self.encoder.height],
+                'num_threads': args.num_threads,
+                'max_age': args.max_age,
+                'max_iou_distance': args.max_iou_distance,
+                'nms_max_overlap': args.nms_max_overlap,
+                'max_cosine_distance': args.max_cosine_distance,
+                'background_subtraction':
+                    None if args.disable_background_subtraction
+                    else args.background_subtraction_ratio,
+                'powersaving': None if args.disable_powersaving else
+                    (args.powersave_delay_increment,
+                     args.powersave_delay_maximum),
+                'cpu_governor': self.cpu_governor,
+                'object_detector_skip_frames':
+                    args.object_detector_skip_frames,
+                'interframe_interval': args.interframe_interval,
+                'simulate_camera': args.simulate_camera,
+            }
+            self.mqtt.publish(self.topic, json.dumps(payload))
+
+    def update_payload_with_state(self, payload):
+        payload.update(self.counting.counters_payload())
+
+    async def publish_crossing_event(self, t_frame, framenum, crossing_type):
+        """deepdish.py:1147-1166."""
+        temp = await self.get_cpu_temp()
+        if self.mqtt is not None and self.args.mqtt_verbosity > 0:
+            payload = {'acp_ts': str(t_frame), 'acp_id': self.mqtt_acp_id,
+                       'acp_event': 'crossing',
+                       'acp_event_value': crossing_type, 'temp': temp}
+            async with self.data_lock:
+                self.update_payload_with_state(payload)
+            self.mqtt.publish(self.topic, json.dumps(payload))
+        if self.log is not None:
+            payload = {'timestamp': str(t_frame),
+                       'asctime': asctime(localtime(t_frame)),
+                       'frame_count': framenum, 'temp': temp}
+            async with self.data_lock:
+                self.update_payload_with_state(payload)
+            with open(self.log, mode='a+') as f:
+                f.write(json.dumps(payload) + '\n')
+
+    async def periodic_heartbeat(self):
+        """deepdish.py:1168-1185."""
+        while True:
+            temp = await self.get_cpu_temp()
+            if self.mqtt is not None and self.args.mqtt_verbosity > 0:
+                payload = {'acp_ts': str(time()),
+                           'acp_id': self.mqtt_acp_id,
+                           'acp_event': 'heartbeat', 'temp': temp}
+                async with self.data_lock:
+                    self.update_payload_with_state(payload)
+                self.mqtt.publish(self.topic, json.dumps(payload))
+            if self.log is not None:
+                payload = {'timestamp': str(time()), 'asctime': asctime(),
+                           'temp': temp}
+                async with self.data_lock:
+                    payload['frame_count'] = self.framenum_committed
+                    self.update_payload_with_state(payload)
+                with open(self.log, mode='a+') as f:
+                    f.write(json.dumps(payload) + '\n')
+            await asyncio.sleep(self.heartbeat_delay_secs)
+
+    # ------------------------------------------------------------------
+    # Stages
+    async def capture(self, q, box):
+        """deepdish.py:837-878."""
+        try:
+            while self.running:
+                msg = None
+                while msg is None:
+                    await asyncio.sleep(0.003)
+                    msg = box.get_message()
+                    if not self.running:
+                        return
+                (orig_framenum, frame, t_frame, dt_cap) = msg
+                if self.everyframe:
+                    box.set_message(None)
+                if frame is None:
+                    self.final_frame = self.frame_count
+                    break
+                if self.args.camera_flip:
+                    frame = cv2.flip(frame, 0)
+                if frame.shape[1::-1] != self.input_size:
+                    frame = cv2.resize(frame, self.input_size)
+                q.put_nowait((orig_framenum, frame, dt_cap, t_frame, time()))
+                if self.powersave_delay > 0:
+                    await asyncio.sleep(self.powersave_delay)
+        finally:
+            if self.cap is not None:
+                self.cap.release()
+
+    def _device_step(self, frames_rgb):
+        """Run the fused program; returns per-frame outputs (host numpy)."""
+        if len(frames_rgb) == 1:
+            self.table, out, snap = self.framestep.step(
+                self.table, frames_rgb[0])
+            return [(out, snap)]
+        self.table, outs, snaps = self.framestep.run_chunk(
+            self.table, np.stack(frames_rgb))
+        F = len(frames_rgb)
+        return [
+            (tt.TrackStepOutput(*(np.asarray(x)[i] for x in outs)),
+             type(snaps)(*(np.asarray(x)[i] for x in snaps)))
+            for i in range(F)]
+
+    async def infer(self, q_in, q_out):
+        """Fused detect+encode+track stage (replaces detect_objects +
+        encode_features + track_objects)."""
+        chunk = max(1, int(self.args.chunk_size))
+        skip_n = self.args.object_detector_skip_frames
+        # warm-up compile with a dummy frame (deepdish.py:895-898)
+        w, h = self.input_size
+        dummy = np.zeros((h, w, 3), np.uint8)
+        await self.loop.run_in_executor(None, self._warmup, dummy)
+        self.kickstart.set()
+
+        pending = []
+        while self.running:
+            item = await q_in.get()
+            if self.everyframe is not None:
+                self.everyframe.set()
+            pending.append(item)
+            while len(pending) < chunk and not q_in.empty():
+                pending.append(q_in.get_nowait())
+                if self.everyframe is not None:
+                    self.everyframe.set()
+            if len(pending) < chunk and self.final_frame is None \
+                    and chunk > 1:
+                # offline mode fills the chunk; live mode proceeds
+                if self.everyframe is not None:
+                    continue
+            batch, pending = pending, []
+            t1 = time()
+            frames_rgb = [cv2.cvtColor(f[1], cv2.COLOR_BGR2RGB)
+                          for f in batch]
+            results = await self.loop.run_in_executor(
+                None, self._device_step, frames_rgb)
+            t2 = time()
+            dt_each = (t2 - t1) / len(batch)
+            for (orig_framenum, frame, dt_cap, t_frame, t_q1), (out, snap) \
+                    in zip(batch, results):
+                self.frame_count += 1
+                framenum = self.frame_count
+                elements = [FrameInfo(t_frame, framenum),
+                            TimingInfo('Capture latency', 'fcap', dt_cap),
+                            TimingInfo('Frame return latency', 'fram',
+                                       t1 - t_frame),
+                            TimingInfo('Q1 latency', 'q1', t1 - t_q1),
+                            TimingInfo('Background subtraction latency',
+                                       'bsub', 0.0),
+                            TimingInfo('Object detection latency', 'objd',
+                                       dt_each),
+                            TimingInfo('Q2 latency', 'q2', 0.0),
+                            TimingInfo('Image encoding latency', 'ienc',
+                                       0.0),
+                            TimingInfo('Feature encoding latency', 'feat',
+                                       0.0),
+                            TimingInfo('Q3 latency', 'q3', 0.0),
+                            TimingInfo('Tracker latency', 'trak', 0.0)]
+                # powersave ramp (deepdish.py:963-969)
+                n_det = int(np.asarray(snap.valid).sum())
+                if n_det == 0:
+                    self.powersave_delay = min(
+                        self.powersave_delay +
+                        self.powersave_delay_increment,
+                        self.powersave_delay_maximum)
+                else:
+                    self.powersave_delay = 0
+                await q_out.put((framenum, frame, out, snap, elements,
+                                 time()))
+
+    def _warmup(self, dummy):
+        self.framestep.step(self.table, dummy)
+        self.table = self.framestep.init_table()
+        if int(self.args.chunk_size) > 1:
+            frames = np.stack([dummy] * int(self.args.chunk_size))
+            self.framestep.run_chunk(self.table, frames)
+            self.table = self.framestep.init_table()
+
+    async def process_results(self, q_in, q_out):
+        """Counting + element building (deepdish.py:1035-1139)."""
+        while self.running:
+            (framenum, frame, out, snap, elements, t_prev) = \
+                await q_in.get()
+            t1 = time()
+            events, views = self.counting.process(out)
+            async with self.data_lock:
+                self.framenum_committed = framenum
+
+            for v in views:
+                if v.path is not None:
+                    elements.append(TrackedPath(v.path.reshape(-1)))
+                annot_mode = self.args.object_annotation.lower()
+                annot = str(v.track_id) if annot_mode == 'id' else \
+                    (v.label if annot_mode == 'label' else '')
+                elements.append(TrackedObject(
+                    v.tlbr, annot, v.label, v.confidence, v.track_id,
+                    self.trackdata_ratios))
+                if self.cam is not None and self.topdownview is not None:
+                    bc = np.array([(v.tlbr[0] + v.tlbr[2]) / 2, v.tlbr[3]])
+                    pts_pre = self.cam.space_from_image(
+                        v.path if v.path is not None else bc[None])
+                    pts = (self.topdownview_scalefactors *
+                           pts_pre[:, :2]).reshape(-1)
+                    elements.append(TopDownObj(self.topdownview, pts))
+
+            t_frame = elements[0].t_frame
+            for ev in events:
+                elements.append(TrackedPathIntersection(ev.path_tail))
+                await self.publish_crossing_event(t_frame, framenum,
+                                                 ev.kind)
+
+            dets = np.asarray(snap.tlwh)
+            for i in np.where(np.asarray(snap.valid))[0]:
+                x, y, bw, bh = dets[i]
+                elements.append(DetectedObject(
+                    np.array([x, y, x + bw, y + bh])))
+
+            if self.topdownview is not None:
+                elements.append(TopDownView(self.topdownview))
+            elements.append(CountingStats(self.counting.negcount,
+                                          self.counting.poscount))
+            t2 = time()
+            elements.append(TimingInfo('Q3 / Q4 latency', 'q4',
+                                       t1 - t_prev))
+            elements.append(TimingInfo('Results processing latency',
+                                       'proc', t2 - t1))
+            await q_out.put((framenum, frame, elements, time()))
+
+    async def render_output(self, q_in):
+        """deepdish.py:1240-1301 + graphical_output 1187-1222."""
+        import sys
+        while self.running:
+            try:
+                (framenum, frame, elements, t_prev) = await asyncio.wait_for(
+                    q_in.get(), timeout=1.0)
+            except asyncio.TimeoutError:
+                if self.final_frame is not None and \
+                        self.framenum_committed >= (self.final_frame or 0):
+                    break
+                continue
+            t1 = time()
+            elements.append(TimingInfo('Q5 latency', 'q5', t1 - t_prev))
+            elements.append(CameraCountLine(self.cameracountline))
+
+            if not self.args.disable_graphics:
+                await self._graphical_output(frame, elements)
+            t2 = time()
+            elements.append(TimingInfo('Display latency', 'disp', t2 - t1))
+
+            # derived latencies (deepdish.py:1270-1281)
+            t_frame = None
+            for e in elements:
+                if isinstance(e, FrameInfo):
+                    t_frame = e.t_frame
+                    break
+            total = sum(e.delta_t for e in elements
+                        if isinstance(e, TimingInfo))
+            e2e = t2 - t_frame if t_frame else 0.0
+            elements.append(TimingInfo('Sum of latencies', 'sum', total))
+            elements.append(TimingInfo('End to end latency', 'e2e', e2e))
+            elements.append(TimingInfo('Unaccounted latency', 'miss',
+                                       e2e - total))
+            if self.t_prev is not None:
+                elements.append(TimingInfo('Frame to frame latency', 'f2f',
+                                           t2 - self.t_prev))
+            self.t_prev = t2
+
+            temp = await self.get_cpu_temp()
+            if temp is not None:
+                elements.append(TempInfo(temp))
+            cpup = self.process.cpu_percent() if self.process else 0.0
+            freq = await self.get_cpu_freq()
+            elements.append(PipelineInfo(
+                0, [q.qsize() for q in self.queues], cpup, freq))
+
+            self._text_output(sys.stdout, elements)
+            if self.mqtt is not None and self.args.mqtt_verbosity > 1:
+                payload = {}
+                for e in elements:
+                    if hasattr(e, 'do_json'):
+                        e.do_json(payload)
+                self.mqtt.publish(self.topic, json.dumps(payload))
+
+            if self.final_frame is not None and \
+                    framenum >= self.final_frame:
+                break
+            if self.args.max_frames is not None and \
+                    framenum >= self.args.max_frames:
+                self.final_frame = framenum
+                break
+        self.running = False
+        if self.output is not None:
+            self.output.release()
+
+    async def _graphical_output(self, frame, elements):
+        """deepdish.py:1187-1222."""
+        w, h = self.input_size
+        self.draw.rectangle([0, 0, w, h], fill=0, outline=0)
+        elements.sort(key=lambda e: e.priority)
+        image = Image.fromarray(cv2.cvtColor(frame, cv2.COLOR_BGR2RGBA))
+        render = RenderInfo(1.0, self.fontlib, self.draw, self.backbuf)
+        if not self.args.raw_output:
+            elements.insert(0, CameraImage(image))
+            for e in elements:
+                if hasattr(e, 'do_render'):
+                    e.do_render(render)
+            out_rgba = np.asarray(self.backbuf)
+        else:
+            out_rgba = np.asarray(image)
+        out_bgr = cv2.cvtColor(out_rgba, cv2.COLOR_RGBA2BGR)
+        if self.output is not None:
+            self.output.write(out_bgr)
+        await self.streaminfo.set_frame(out_bgr)
+
+    def _text_output(self, handle, elements):
+        for e in elements:
+            if isinstance(e, FrameInfo):
+                e.do_text(handle, elements)
+                break
+
+    # ------------------------------------------------------------------
+    async def start(self):
+        """deepdish.py:1314-1345."""
+        self.running = True
+        self.loop = asyncio.get_event_loop()
+        cameraQueue = FreshQueue()
+        k = self.args.max_queue_size
+        inferQueue = asyncio.Queue(maxsize=k)
+        resultQueue = asyncio.Queue(maxsize=k)
+        self.queues = [cameraQueue, inferQueue, resultQueue]
+
+        render_task = asyncio.ensure_future(self.render_output(resultQueue))
+        tasks = [render_task,
+                 asyncio.ensure_future(
+                     self.process_results(inferQueue, resultQueue)),
+                 asyncio.ensure_future(self.infer(cameraQueue, inferQueue))]
+
+        box = MBox()
+        self.kickstart = threading.Event()
+        ifi = self.args.interframe_interval
+        if ifi is not None:
+            self.everyframe = None
+            ifi_sec = float(ifi) / 1000.0
+        else:
+            ifi_sec = None
+        capthread = threading.Thread(
+            target=capthread_f,
+            args=(self.cap, self.kickstart, box, self.everyframe, ifi_sec,
+                  self.simcam), daemon=True)
+        capthread.start()
+        if self.process:
+            self.process.cpu_percent()
+        if self.args.streaming:
+            self.webserver = MJPEGServer(self.streaminfo,
+                                         self.args.streaming_port)
+            try:
+                await self.webserver.start()
+            except OSError as e:
+                print(f'Web streaming disabled: {e}')
+                self.webserver = None
+        await self.capture(cameraQueue, box)
+        await render_task
+        self.shutdown()
+        for t in tasks:
+            t.cancel()
+
+    def shutdown(self):
+        """deepdish.py:791-815."""
+        self.running = False
+        print('Shutting down pipeline.')
+        if self.mqtt:
+            if self.args.mqtt_verbosity > 1:
+                payload = {'acp_ts': str(time()), 'acp_event': 'shutdown',
+                           'acp_id': self.mqtt_acp_id,
+                           'model': self.args.model, 'input': self.input}
+                self.mqtt.publish(self.topic, json.dumps(payload))
