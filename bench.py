@@ -1,0 +1,79 @@
+"""Benchmark: offline 720p tracking-by-detection throughput on one chip.
+
+Measures the fused pipeline (720p uint8 frame -> resize -> SSD-MobileNetV1
+-> decode/NMS -> crop+MARS embed -> full Deep SORT tracker step) in chunked
+throughput mode (vmapped detector + lax.scan tracker, one dispatch per
+chunk), including host->device frame transfer and host retrieval of the
+per-frame track snapshots.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured FPS / 1000 (the driver's north-star target for the
+reference pipeline rebuilt on one TPU v5e chip; the reference itself
+publishes no numbers — BASELINE.md).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    from deepdish_tpu import tracker as tt
+    from deepdish_tpu.models import create_box_encoder, create_detector
+    from deepdish_tpu.pipeline import FrameStep, FrameStepConfig
+
+    chunk = int(sys.argv[sys.argv.index("--chunk") + 1]) \
+        if "--chunk" in sys.argv else 32
+    n_chunks = int(sys.argv[sys.argv.index("--chunks") + 1]) \
+        if "--chunks" in sys.argv else 8
+
+    H, W = 720, 1280
+    det = create_detector("ssd_mobilenet", max_outputs=32)
+    enc = create_box_encoder("mars")
+    cfg = tt.TrackerConfig(max_tracks=64, max_detections=32,
+                           gallery_size=64, num_labels=4)
+    fs = FrameStep(det, enc, cfg, ["person", "car"], (H, W))
+
+    rng = np.random.RandomState(0)
+    # moving-rectangle synthetic scene (keeps detector outputs non-trivial)
+    frames = np.zeros((chunk, H, W, 3), np.uint8)
+    base = rng.randint(0, 80, size=(H, W, 3)).astype(np.uint8)
+    for i in range(chunk):
+        f = base.copy()
+        x = (40 + i * 24) % (W - 200)
+        f[200:500, x:x + 160] = 230
+        frames[i] = f
+
+    table = fs.init_table()
+    # warm-up / compile
+    t0 = time.time()
+    table, outs, snaps = fs.run_chunk(table, frames)
+    jax.block_until_ready(outs.track_id)
+    compile_s = time.time() - t0
+
+    table = fs.init_table()
+    t0 = time.time()
+    for _ in range(n_chunks):
+        table, outs, snaps = fs.run_chunk(table, frames)
+        # host reads the per-frame snapshots, as the real pipeline does
+        np.asarray(outs.track_id)
+        np.asarray(snaps.valid)
+    jax.block_until_ready(outs.track_id)
+    dt = time.time() - t0
+    fps = (chunk * n_chunks) / dt
+
+    print(json.dumps({
+        "metric": "720p offline FPS (SSD-MobileNet+MARS+DeepSORT fused, "
+                  f"chunk={chunk}, 1 chip)",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 1000.0, 3),
+    }))
+    print(f"# compile={compile_s:.1f}s measure={dt:.2f}s "
+          f"device={jax.devices()[0].device_kind}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

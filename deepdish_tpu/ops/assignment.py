@@ -37,19 +37,29 @@ import jax.numpy as jnp
 _INF = jnp.inf
 
 
-def _solve_ascending(cost: jnp.ndarray, n_rows, n_cols):
-    """Core solver; requires n_rows <= n_cols at call sites.
+def _solve_ascending(cost: jnp.ndarray, n_rows, n_cols, active=True):
+    """Core solver; correct when n_rows <= n_cols (the `active` flag must be
+    False otherwise).
 
     cost: (R, C) float matrix (padded entries beyond n_rows/n_cols ignored).
     Returns col4row: (R,) int32, assigned column per row (-1 beyond n_rows).
+
+    `active` exists for vmap safety: under vmap, `lax.cond` lowers to a
+    select that executes BOTH branches for every lane, so this function can
+    be invoked with an invalid orientation (n_rows > n_cols) or empty
+    problem on lanes that logically skip it. Inactive lanes initialize each
+    augmenting search with sink=0, so the batched while_loops never iterate
+    for them and always terminate.
     """
     R, C = cost.shape
     dtype = cost.dtype
     col_ids = jnp.arange(C, dtype=jnp.int32)
     pos_ids = jnp.arange(C, dtype=jnp.int32)
+    enable = jnp.asarray(active) & (n_rows <= n_cols) & (n_cols > 0)
 
     def augment_row(cur_row, state):
         u, v, row2col, col2row = state
+        en = enable & (cur_row < n_rows)
 
         # --- Dijkstra for the shortest augmenting path from cur_row ---
         remaining0 = (n_cols - 1 - col_ids).astype(jnp.int32)  # descending
@@ -62,7 +72,7 @@ def _solve_ascending(cost: jnp.ndarray, n_rows, n_cols):
             jnp.zeros((C,), bool),              # SC
             remaining0,                         # remaining columns (ordered)
             jnp.int32(n_cols),                  # numRemaining
-            jnp.int32(-1),                      # sink
+            jnp.where(en, jnp.int32(-1), jnp.int32(0)),  # sink (0 = skip)
             jnp.asarray(0.0, dtype),            # lowest at termination
         )
 
@@ -107,13 +117,14 @@ def _solve_ascending(cost: jnp.ndarray, n_rows, n_cols):
         (_, min_val, spc, path, sr, sc, _, _, sink, _) = jax.lax.while_loop(
             dj_cond, dj_body, init)
 
-        # --- Dual variable updates ---
+        # --- Dual variable updates (no-ops when this row is inactive) ---
         row_ids = jnp.arange(R, dtype=jnp.int32)
-        u = u + jnp.where(
+        du = jnp.where(
             sr & (row_ids != cur_row),
             min_val - spc[jnp.clip(row2col, 0, C - 1)],
             jnp.where(row_ids == cur_row, min_val, 0.0))
-        v = v - jnp.where(sc, min_val - spc, 0.0)
+        u = u + jnp.where(en, du, 0.0)
+        v = v - jnp.where(en & sc, min_val - spc, 0.0)
 
         # --- Augment along the alternating path ---
         def aug_cond(s):
@@ -128,21 +139,15 @@ def _solve_ascending(cost: jnp.ndarray, n_rows, n_cols):
             return row2col_, col2row_, old, i == cur_row
 
         row2col, col2row, _, _ = jax.lax.while_loop(
-            aug_cond, aug_body,
-            (row2col, col2row, sink, jnp.asarray(False)))
+            aug_cond, aug_body, (row2col, col2row, sink, ~en))
         return u, v, row2col, col2row
-
-    def outer(cur_row, state):
-        return jax.lax.cond(
-            cur_row < n_rows, lambda s: augment_row(cur_row, s),
-            lambda s: s, state)
 
     u0 = jnp.zeros((R,), dtype)
     v0 = jnp.zeros((C,), dtype)
     row2col0 = jnp.full((R,), -1, jnp.int32)
     col2row0 = jnp.full((C,), -1, jnp.int32)
     _, _, row2col, _ = jax.lax.fori_loop(
-        0, R, outer, (u0, v0, row2col0, col2row0))
+        0, R, augment_row, (u0, v0, row2col0, col2row0))
     return row2col
 
 
@@ -160,11 +165,13 @@ def solve_lsap(cost: jnp.ndarray, n_rows, n_cols) -> jnp.ndarray:
     n_cols = jnp.asarray(n_cols, jnp.int32)
 
     def normal(_):
-        return _solve_ascending(cost, n_rows, n_cols)
+        return _solve_ascending(cost, n_rows, n_cols,
+                                active=n_rows <= n_cols)
 
     def transposed(_):
         # scipy transposes when n_rows > n_cols and inverts the result.
-        col2row = _solve_ascending(cost.T, n_cols, n_rows)
+        col2row = _solve_ascending(cost.T, n_cols, n_rows,
+                                   active=n_rows > n_cols)
         out = jnp.full((K,), -1, jnp.int32)
         rows = col2row  # for each col (as row of the transpose): matched row
         cols = jnp.arange(K, dtype=jnp.int32)
