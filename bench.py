@@ -46,17 +46,17 @@ def main():
         f[200:500, x:x + 160] = 230
         frames[i] = f
 
-    table = fs.init_table()
+    state = fs.init_state()
     # warm-up / compile
     t0 = time.time()
-    table, outs, snaps = fs.run_chunk(table, frames)
+    state, outs, snaps = fs.run_chunk(state, frames)
     jax.block_until_ready(outs.track_id)
     compile_s = time.time() - t0
 
-    table = fs.init_table()
+    state = fs.init_state()
     t0 = time.time()
     for _ in range(n_chunks):
-        table, outs, snaps = fs.run_chunk(table, frames)
+        state, outs, snaps = fs.run_chunk(state, frames)
         # host reads the per-frame snapshots, as the real pipeline does
         np.asarray(outs.track_id)
         np.asarray(snaps.valid)

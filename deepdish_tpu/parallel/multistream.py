@@ -45,10 +45,10 @@ class MultiStreamEngine:
         self._repl = NamedSharding(self.mesh, P())
         self._shard = NamedSharding(self.mesh, P(axis))
 
-        def stacked_step(params, tables, frames):
+        def stacked_step(params, states, frames):
             return jax.vmap(
-                lambda tbl, fr: self.fs._step(params, tbl, fr)
-            )(tables, frames)
+                lambda st, fr: self.fs._step(params, st, fr)[:3]
+            )(states, frames)
 
         def shard_tree(tree):
             return jax.tree.map(lambda _: self._shard, tree)
@@ -56,18 +56,21 @@ class MultiStreamEngine:
         self._step_jit = None
         self._stacked_step = stacked_step
 
-    def init_tables(self) -> tt.TrackTable:
-        """Stacked (S, ...) track tables, sharded over the mesh."""
-        one = self.fs.init_table()
+    def init_tables(self):
+        """Stacked (S, ...) pipeline states, sharded over the mesh."""
+        one = self.fs.init_state()
         stacked = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (self.n_streams,) + x.shape),
             one)
         return jax.device_put(
             stacked, jax.tree.map(lambda _: self._shard, stacked))
 
-    def step(self, tables, frames):
-        """frames: (S, H, W, 3) uint8. Returns (tables, outs, snaps) with
+    init_states = init_tables
+
+    def step(self, states, frames):
+        """frames: (S, H, W, 3) uint8. Returns (states, outs, snaps) with
         every per-stream array sharded over the mesh."""
+        tables = states
         if self._step_jit is None:
             out_tree = jax.eval_shape(self._stacked_step, self.fs._params,
                                       tables, frames)

@@ -1,18 +1,28 @@
 """The fused per-frame device program and the chunked throughput engine.
 
 This is the TPU-native replacement for the reference's per-frame hot path
-(deepdish.py:903-1033: detector in a thread executor -> per-box Python crop
-loop + encoder -> Python Deep SORT): ONE jit-compiled XLA program takes the
-raw uint8 frame and the track table and returns the updated table plus
-per-frame snapshots — preprocess, detector forward, box decode, NMS,
-wanted-label filtering, spurious-box rejection, batched crop+embed, and the
-full tracker update, with no host round trips in between.
+(deepdish.py:903-1033: MOG2 background subtraction -> detector in a thread
+executor -> per-box Python crop loop + encoder -> Python Deep SORT): ONE
+jit-compiled XLA program takes the raw uint8 frame and the pipeline state
+and returns the updated state plus per-frame snapshots — background
+subtraction, preprocess, detector forward, box decode, NMS, wanted-label
+filtering, spurious-box and motion-ratio rejection, batched crop+embed, and
+the full tracker update, with no host round trips in between.
 
-Throughput mode (`run_chunk`) processes F frames per dispatch: the
+Reference-fidelity notes (for crossing-count parity):
+  * boxes are clipped and truncated to integers exactly like
+    deepdish.py:950-951 (int(np.clip(...))) before NMS;
+  * the NaN guard replicates the reference's semantics at :947-949 — any
+    NaN in the candidate box array drops the whole frame's detections;
+  * the motion-ratio filter accepts a box when the foreground-pixel count
+    inside it reaches background_subtraction_ratio * w * h (:957),
+    computed here with an integral image over the MOG2 mask.
+
+Throughput mode (`run_chunk`) processes F frames per dispatch: background
+subtraction scans sequentially (its state is temporal), the
 detector/encoder run batched over the frame axis (large MXU batches), then
-the inherently sequential tracker runs as a `lax.scan` over the chunk —
-amortizing dispatch overhead and keeping the MXU busy, which is how the
->=1000 FPS offline target is reached on one chip.
+the tracker runs as a `lax.scan` over the chunk — amortizing dispatch
+overhead and keeping the MXU busy.
 """
 from __future__ import annotations
 
@@ -25,6 +35,7 @@ import numpy as np
 
 from .. import tracker as tt
 from ..models.preprocess import resize_bilinear
+from ..ops import bgsub
 from ..ops import boxes as boxops
 from ..ops import nms as nmsops
 
@@ -37,14 +48,22 @@ class DetectionSnapshot(NamedTuple):
     valid: jnp.ndarray
 
 
+class PipelineState(NamedTuple):
+    table: tt.TrackTable
+    bg: Optional[bgsub.MOG2State]
+
+
 class FrameStepConfig(NamedTuple):
     nms_max_overlap: float = 0.6        # --nms-max-overlap (deepdish.py:1420)
     spurious_area_frac: float = 0.9     # deepdish.py:952-955
     score_threshold: float = 0.5
+    background_subtraction: bool = False
+    background_ratio: float = 0.25      # --background-subtraction-ratio
+    background_masking: bool = False    # --enable-background-masking
 
 
 class FrameStep:
-    """Binds detector + encoder + tracker into fused device programs."""
+    """Binds detector + encoder + tracker (+ MOG2) into fused programs."""
 
     def __init__(self, detector, encoder, tracker_cfg: tt.TrackerConfig,
                  wanted_labels: Sequence[str],
@@ -71,35 +90,61 @@ class FrameStep:
 
         self._step_jit = jax.jit(self._step)
         self._chunk_jit = jax.jit(self._run_chunk)
+        self._track_only_jit = jax.jit(self._track_only)
 
     # ---- device program pieces ----
 
-    def _detect_frame(self, params, frame):
-        """frame (H, W, 3) uint8 -> packed Detections + snapshot."""
+    def _apply_bgsub(self, bg, frame):
+        """Returns (new_bg, fg_count_integral or None, masked frame)."""
+        cfg = self.step_cfg
+        if not cfg.background_subtraction:
+            return bg, None, frame
+        bg, mask = bgsub.update(bg, frame)
+        fg = (mask != 0).astype(jnp.int32)
+        integral = jnp.pad(jnp.cumsum(jnp.cumsum(fg, axis=0), axis=1),
+                           ((1, 0), (1, 0)))
+        if cfg.background_masking:
+            frame = jnp.where((mask != 0)[:, :, None], frame, 0)
+        return bg, integral, frame
+
+    def _motion_ok(self, integral, x, y, w, h):
+        """Foreground count in [y, y+h) x [x, x+w) >= ratio * w * h."""
+        xi = x.astype(jnp.int32)
+        yi = y.astype(jnp.int32)
+        x2 = xi + w.astype(jnp.int32)
+        y2 = yi + h.astype(jnp.int32)
+        s = (integral[y2, x2] - integral[yi, x2] -
+             integral[y2, xi] + integral[yi, xi])
+        return s >= self.step_cfg.background_ratio * w * h
+
+    def _postprocess_raw(self, frame, integral, xyxy, classes, scores,
+                         valid, params):
+        """Shared tail after the detector: filters, NMS, crop+embed."""
         cfg = self.step_cfg
         tcfg = self.tracker_cfg
         H, W = self.frame_h, self.frame_w
-        det = self.detector
-        resized = resize_bilinear(frame, det.height, det.width)
-        xyxy, classes, scores, valid = det.detect(
-            params["det"], resized, jnp.float32(W), jnp.float32(H))
 
-        # wanted-label + threshold filter (adaptor semantics)
         vocab = self._label_lut[jnp.clip(classes, 0,
                                          self._label_lut.shape[0] - 1)]
         valid = valid & (vocab >= 0) & (scores >= cfg.score_threshold)
 
-        tlwh = boxops.xyxy_to_tlwh(xyxy)
-        # NaN drop + clip + spurious-box rejection (deepdish.py:941-961)
-        valid = valid & jnp.all(jnp.isfinite(tlwh), axis=1)
-        x1 = jnp.clip(xyxy[:, 0], 0, W)
-        y1 = jnp.clip(xyxy[:, 1], 0, H)
-        x2 = jnp.clip(xyxy[:, 2], 0, W)
-        y2 = jnp.clip(xyxy[:, 3], 0, H)
-        tlwh = jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=1)
-        area = tlwh[:, 2] * tlwh[:, 3]
-        valid = valid & (area <= cfg.spurious_area_frac * (W * H))
-        valid = valid & (area > 0)
+        raw_tlwh = boxops.xyxy_to_tlwh(xyxy)
+        # Reference NaN guard (deepdish.py:947-949): any NaN among the
+        # candidate boxes drops them all.
+        any_nan = jnp.any(jnp.where(valid[:, None],
+                                    ~jnp.isfinite(raw_tlwh), False))
+        valid = valid & ~any_nan
+
+        # int(np.clip(...)) truncation (deepdish.py:950-951)
+        x = jnp.floor(jnp.clip(raw_tlwh[:, 0], 0, W))
+        y = jnp.floor(jnp.clip(raw_tlwh[:, 1], 0, H))
+        w = jnp.floor(jnp.clip(raw_tlwh[:, 2], 0, W - x))
+        h = jnp.floor(jnp.clip(raw_tlwh[:, 3], 0, H - y))
+        tlwh = jnp.stack([x, y, w, h], axis=1)
+        valid = valid & (w * h <= cfg.spurious_area_frac * (W * H))
+        valid = valid & (w * h > 0)
+        if integral is not None:
+            valid = valid & self._motion_ok(integral, x, y, w, h)
 
         # pipeline class-agnostic NMS (deepdish.py:995)
         order, _keep = nmsops.nms_tlwh(tlwh, scores, valid,
@@ -113,7 +158,7 @@ class FrameStep:
         d_label = jnp.where(ok, vocab[sel], 0)
 
         # batched crop + embed (replaces generate_detections.py:192-213)
-        feats, enc_ok = self.encoder.encode_boxes(
+        feats, _enc_ok = self.encoder.encode_boxes(
             frame, d_tlwh, ok, params.get("enc"))
 
         dets = tt.Detections(tlwh=d_tlwh, confidence=d_score,
@@ -122,32 +167,75 @@ class FrameStep:
                                  valid=ok)
         return dets, snap
 
-    def _step(self, params, table: tt.TrackTable, frame):
-        dets, snap = self._detect_frame(params, frame)
-        table, out = tt.step(self.tracker_cfg, table, dets)
-        return table, out, snap
+    def _detect_raw(self, params, frame):
+        det = self.detector
+        resized = resize_bilinear(frame, det.height, det.width)
+        return det.detect(params["det"], resized,
+                          jnp.float32(self.frame_w),
+                          jnp.float32(self.frame_h))
 
-    def _run_chunk(self, params, table: tt.TrackTable, frames):
-        """frames (F, H, W, 3) -> (table, stacked TrackStepOutput, snaps)."""
-        dets, snaps = jax.vmap(
-            lambda f: self._detect_frame(params, f))(frames)
+    def _step(self, params, state: PipelineState, frame):
+        bg, integral, frame = self._apply_bgsub(state.bg, frame)
+        raw = self._detect_raw(params, frame)
+        dets, snap = self._postprocess_raw(frame, integral, *raw, params)
+        table, out = tt.step(self.tracker_cfg, state.table, dets)
+        return PipelineState(table, bg), out, snap, raw
+
+    def _track_only(self, params, state: PipelineState, frame, raw):
+        """Frame-skip mode (--object-detector-skip-frames,
+        deepdish.py:929-938): reuse the previous RAW detector output, but
+        re-run filtering + crop/embed on the CURRENT frame, then track."""
+        bg, integral, frame = self._apply_bgsub(state.bg, frame)
+        dets, snap = self._postprocess_raw(frame, integral, *raw, params)
+        table, out = tt.step(self.tracker_cfg, state.table, dets)
+        return PipelineState(table, bg), out, snap
+
+    def _run_chunk(self, params, state: PipelineState, frames):
+        """frames (F, H, W, 3) -> (state, stacked outputs, snaps)."""
+        if self.step_cfg.background_subtraction:
+            def bg_scan(bg, frame):
+                bg2, integral, masked = self._apply_bgsub(bg, frame)
+                return bg2, (integral, masked)
+            bg, (integrals, masked_frames) = jax.lax.scan(
+                bg_scan, state.bg, frames)
+        else:
+            bg, integrals, masked_frames = state.bg, None, frames
+
+        def detect_one(frame, integral):
+            raw = self._detect_raw(params, frame)
+            return self._postprocess_raw(frame, integral, *raw, params)
+
+        if integrals is None:
+            dets, snaps = jax.vmap(
+                lambda f: detect_one(f, None))(masked_frames)
+        else:
+            dets, snaps = jax.vmap(detect_one)(masked_frames, integrals)
 
         def scan_body(tbl, det):
             tbl, out = tt.step(self.tracker_cfg, tbl, det)
             return tbl, out
 
-        table, outs = jax.lax.scan(scan_body, table, dets)
-        return table, outs, snaps
+        table, outs = jax.lax.scan(scan_body, state.table, dets)
+        return PipelineState(table, bg), outs, snaps
 
     # ---- host API ----
 
     def init_table(self) -> tt.TrackTable:
         return tt.create_table(self.tracker_cfg)
 
-    def step(self, table, frame_rgb: np.ndarray):
-        """One frame. frame_rgb uint8 (H, W, 3)."""
-        return self._step_jit(self._params, table, frame_rgb)
+    def init_state(self) -> PipelineState:
+        bg = (bgsub.init_state(self.frame_h, self.frame_w)
+              if self.step_cfg.background_subtraction else None)
+        return PipelineState(self.init_table(), bg)
 
-    def run_chunk(self, table, frames_rgb: np.ndarray):
+    def step(self, state: PipelineState, frame_rgb: np.ndarray):
+        """One frame. Returns (state, out, snap, raw_detections)."""
+        return self._step_jit(self._params, state, frame_rgb)
+
+    def step_skip(self, state: PipelineState, frame_rgb: np.ndarray, raw):
+        """Frame-skip step reusing previous raw detector output."""
+        return self._track_only_jit(self._params, state, frame_rgb, raw)
+
+    def run_chunk(self, state: PipelineState, frames_rgb: np.ndarray):
         """F frames in one dispatch. frames_rgb uint8 (F, H, W, 3)."""
-        return self._chunk_jit(self._params, table, frames_rgb)
+        return self._chunk_jit(self._params, state, frames_rgb)

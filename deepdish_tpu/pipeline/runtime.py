@@ -153,9 +153,16 @@ class Pipeline:
         self.framestep = FrameStep(
             self.detector, self.encoder, self.tracker_cfg,
             self.wanted_labels, (h, w),
-            FrameStepConfig(nms_max_overlap=args.nms_max_overlap,
-                            score_threshold=args.score_threshold))
-        self.table = self.framestep.init_table()
+            FrameStepConfig(
+                nms_max_overlap=args.nms_max_overlap,
+                score_threshold=args.score_threshold,
+                background_subtraction=not
+                    args.disable_background_subtraction,
+                background_ratio=args.background_subtraction_ratio,
+                background_masking=args.enable_background_masking))
+        self.state = self.framestep.init_state()
+        self._prev_raw = None
+        self._skip_rem = 0
 
         # analytics
         self.counting = CountingState(self.wanted_labels,
@@ -443,12 +450,21 @@ class Pipeline:
 
     def _device_step(self, frames_rgb):
         """Run the fused program; returns per-frame outputs (host numpy)."""
+        skip_n = self.args.object_detector_skip_frames or 0
         if len(frames_rgb) == 1:
-            self.table, out, snap = self.framestep.step(
-                self.table, frames_rgb[0])
+            if skip_n and self._skip_rem > 0 and self._prev_raw is not None:
+                # reuse previous raw detector output (deepdish.py:929-938)
+                self._skip_rem -= 1
+                self.state, out, snap = self.framestep.step_skip(
+                    self.state, frames_rgb[0], self._prev_raw)
+            else:
+                self.state, out, snap, raw = self.framestep.step(
+                    self.state, frames_rgb[0])
+                self._prev_raw = raw
+                self._skip_rem = skip_n
             return [(out, snap)]
-        self.table, outs, snaps = self.framestep.run_chunk(
-            self.table, np.stack(frames_rgb))
+        self.state, outs, snaps = self.framestep.run_chunk(
+            self.state, np.stack(frames_rgb))
         F = len(frames_rgb)
         return [
             (tt.TrackStepOutput(*(np.asarray(x)[i] for x in outs)),
@@ -522,12 +538,11 @@ class Pipeline:
                                  time()))
 
     def _warmup(self, dummy):
-        self.framestep.step(self.table, dummy)
-        self.table = self.framestep.init_table()
+        self.framestep.step(self.state, dummy)
         if int(self.args.chunk_size) > 1:
             frames = np.stack([dummy] * int(self.args.chunk_size))
-            self.framestep.run_chunk(self.table, frames)
-            self.table = self.framestep.init_table()
+            self.framestep.run_chunk(self.state, frames)
+        self.state = self.framestep.init_state()
 
     async def process_results(self, q_in, q_out):
         """Counting + element building (deepdish.py:1035-1139)."""

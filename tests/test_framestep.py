@@ -24,8 +24,8 @@ def _frames(n, rng):
 
 
 def test_single_step_smoke(fs, rng):
-    table = fs.init_table()
-    table, out, snap = fs.step(table, _frames(1, rng)[0])
+    state = fs.init_state()
+    state, out, snap, raw = fs.step(state, _frames(1, rng)[0])
     assert np.asarray(out.track_id).shape == (16,)
     assert np.asarray(snap.tlwh).shape == (8, 4)
     assert np.isfinite(np.asarray(out.tlwh)).all()
@@ -33,13 +33,13 @@ def test_single_step_smoke(fs, rng):
 
 def test_chunk_equals_sequential(fs, rng):
     frames = _frames(6, rng)
-    t1 = fs.init_table()
+    t1 = fs.init_state()
     seq_states = []
     for f in frames:
-        t1, out, _ = fs.step(t1, f)
+        t1, out, _, _ = fs.step(t1, f)
         seq_states.append((np.asarray(out.track_id).copy(),
                            np.asarray(out.state).copy()))
-    t2 = fs.init_table()
+    t2 = fs.init_state()
     t2, outs, snaps = fs.run_chunk(t2, frames)
     ids = np.asarray(outs.track_id)
     states = np.asarray(outs.state)
@@ -47,6 +47,8 @@ def test_chunk_equals_sequential(fs, rng):
         np.testing.assert_array_equal(ids[i], want_id, err_msg=f"frame {i}")
         np.testing.assert_array_equal(states[i], want_state)
     # final tables agree
-    np.testing.assert_array_equal(np.asarray(t1.state), np.asarray(t2.state))
-    np.testing.assert_allclose(np.asarray(t1.mean), np.asarray(t2.mean),
+    np.testing.assert_array_equal(np.asarray(t1.table.state),
+                                  np.asarray(t2.table.state))
+    np.testing.assert_allclose(np.asarray(t1.table.mean),
+                               np.asarray(t2.table.mean),
                                rtol=1e-4, atol=1e-3)

@@ -23,13 +23,13 @@ def engine():
 
 def test_sharded_step_runs(engine, rng):
     assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
-    tables = engine.init_tables()
+    states = engine.init_states()
     frames = rng.randint(0, 255, size=(16, 72, 96, 3)).astype(np.uint8)
-    tables, outs, snaps = engine.step(tables, frames)
-    jax.block_until_ready(tables)
+    states, outs, snaps = engine.step(states, frames)
+    jax.block_until_ready(states)
     assert np.asarray(outs.track_id).shape == (16, 8)
     # tables stay sharded over the mesh
-    shard_devs = {s.device for s in tables.mean.addressable_shards}
+    shard_devs = {s.device for s in states.table.mean.addressable_shards}
     assert len(shard_devs) == 8
 
 
@@ -37,14 +37,14 @@ def test_streams_independent(engine, rng):
     """Stream k's tracker must evolve identically whether run sharded in the
     batch or alone."""
     frames = rng.randint(0, 255, size=(16, 72, 96, 3)).astype(np.uint8)
-    tables = engine.init_tables()
+    states = engine.init_states()
     for _ in range(2):
-        tables, outs, _ = engine.step(tables, frames)
+        states, outs, _ = engine.step(states, frames)
     batch_ids = np.asarray(outs.track_id)
 
     # single-stream run of stream 3
     fs = engine.fs
-    t = fs.init_table()
+    t = fs.init_state()
     for _ in range(2):
-        t, out, _ = fs.step(t, frames[3])
+        t, out, _, _ = fs.step(t, frames[3])
     np.testing.assert_array_equal(batch_ids[3], np.asarray(out.track_id))

@@ -78,7 +78,8 @@ def scripted_device_step(self, frames_rgb):
             self.tracker_cfg,
             [d[0] for d in dets], [d[1] for d in dets],
             [d[2] for d in dets], [_feature_for(d[0]) for d in dets])
-        self.table, out = tt.step(self.tracker_cfg, self.table, packed)
+        table, out = tt.step(self.tracker_cfg, self.state.table, packed)
+        self.state = self.state._replace(table=table)
         snap_tlwh = np.asarray(packed.tlwh)
         snap = type('S', (), {})()
         from deepdish_tpu.pipeline.framestep import DetectionSnapshot
