@@ -91,6 +91,8 @@ class FrameStep:
         self._step_jit = jax.jit(self._step)
         self._chunk_jit = jax.jit(self._run_chunk)
         self._track_only_jit = jax.jit(self._track_only)
+        self._detect_only_jit = jax.jit(self._detect_only)
+        self._encode_track_jit = jax.jit(self._encode_track)
 
     # ---- device program pieces ----
 
@@ -190,6 +192,56 @@ class FrameStep:
         table, out = tt.step(self.tracker_cfg, state.table, dets)
         return PipelineState(table, bg), out, snap
 
+    def _detect_only(self, params, bg, frame):
+        """Split mode for CVAT annotation merge (the host must see the
+        post-NMS detections BEFORE encoding, deepdish.py:995->1001): runs
+        bgsub + detector + filters + NMS, returns the compacted candidate
+        boxes without encoding/tracking."""
+        cfg = self.step_cfg
+        tcfg = self.tracker_cfg
+        H, W = self.frame_h, self.frame_w
+        bg, integral, frame = self._apply_bgsub(bg, frame)
+        xyxy, classes, scores, valid = self._detect_raw(params, frame)
+        vocab = self._label_lut[jnp.clip(classes, 0,
+                                         self._label_lut.shape[0] - 1)]
+        valid = valid & (vocab >= 0) & (scores >= cfg.score_threshold)
+        raw_tlwh = boxops.xyxy_to_tlwh(xyxy)
+        any_nan = jnp.any(jnp.where(valid[:, None],
+                                    ~jnp.isfinite(raw_tlwh), False))
+        valid = valid & ~any_nan
+        x = jnp.floor(jnp.clip(raw_tlwh[:, 0], 0, W))
+        y = jnp.floor(jnp.clip(raw_tlwh[:, 1], 0, H))
+        w = jnp.floor(jnp.clip(raw_tlwh[:, 2], 0, W - x))
+        h = jnp.floor(jnp.clip(raw_tlwh[:, 3], 0, H - y))
+        tlwh = jnp.stack([x, y, w, h], axis=1)
+        valid = valid & (w * h <= cfg.spurious_area_frac * (W * H))
+        valid = valid & (w * h > 0)
+        if integral is not None:
+            valid = valid & self._motion_ok(integral, x, y, w, h)
+        order, _ = nmsops.nms_tlwh(tlwh, scores, valid, cfg.nms_max_overlap)
+        D = tcfg.max_detections
+        sel = order[:D]
+        ok = sel >= 0
+        sel = jnp.clip(sel, 0, tlwh.shape[0] - 1)
+        snap = DetectionSnapshot(
+            tlwh=jnp.where(ok[:, None], tlwh[sel], 0.0),
+            label=jnp.where(ok, vocab[sel], 0),
+            score=jnp.where(ok, scores[sel], 0.0), valid=ok)
+        return bg, snap
+
+    def _encode_track(self, params, state: PipelineState, frame,
+                      tlwh, labels, scores, valid):
+        """Second half of split mode: crop+embed the (possibly
+        annotation-merged) boxes on the current frame, then track."""
+        feats, _ = self.encoder.encode_boxes(frame, tlwh, valid,
+                                             params.get("enc"))
+        dets = tt.Detections(tlwh=tlwh, confidence=scores, label=labels,
+                             feature=feats, valid=valid)
+        table, out = tt.step(self.tracker_cfg, state.table, dets)
+        snap = DetectionSnapshot(tlwh=tlwh, label=labels, score=scores,
+                                 valid=valid)
+        return PipelineState(table, state.bg), out, snap, dets
+
     def _run_chunk(self, params, state: PipelineState, frames):
         """frames (F, H, W, 3) -> (state, stacked outputs, snaps)."""
         if self.step_cfg.background_subtraction:
@@ -239,3 +291,13 @@ class FrameStep:
     def run_chunk(self, state: PipelineState, frames_rgb: np.ndarray):
         """F frames in one dispatch. frames_rgb uint8 (F, H, W, 3)."""
         return self._chunk_jit(self._params, state, frames_rgb)
+
+    def detect_only(self, state: PipelineState, frame_rgb):
+        """CVAT split mode, stage 1: returns (new_bg, DetectionSnapshot)."""
+        return self._detect_only_jit(self._params, state.bg, frame_rgb)
+
+    def encode_track(self, state: PipelineState, frame_rgb, tlwh, labels,
+                     scores, valid):
+        """CVAT split mode, stage 2 (after host annotation merge)."""
+        return self._encode_track_jit(
+            self._params, state, frame_rgb, tlwh, labels, scores, valid)

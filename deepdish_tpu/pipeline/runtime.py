@@ -46,7 +46,10 @@ from .elements import (CameraCountLine, CameraImage, CountingStats,
                        RenderInfo, TempInfo, TimingInfo, TopDownObj,
                        TopDownView, TrackedObject, TrackedPath,
                        TrackedPathIntersection)
+from .framerecords import FrameRecords
 from .framestep import FrameStep, FrameStepConfig
+from ..tracker.overrides import delete_slots, force_update_slots
+from ..ops import boxes as _boxops
 from .mjpeg import MJPEGServer, StreamingInfo
 from .mqtt import MQTTClient
 
@@ -163,6 +166,16 @@ class Pipeline:
         self.state = self.framestep.init_state()
         self._prev_raw = None
         self._skip_rem = 0
+
+        # CVAT annotation merge (deepdish.py:613-641, framerecords.py)
+        self.framerec = None
+        if args.input_cvat_dir is not None or args.output_cvat_dir is not None:
+            self.framerec = FrameRecords(self.detector.labels)
+            if args.input_cvat_dir is not None:
+                xml = os.path.join(args.input_cvat_dir, 'annotations.xml')
+                if os.path.exists(xml):
+                    self.framerec = FrameRecords.from_cvat_xml(
+                        xml, self.detector.labels)
 
         # analytics
         self.counting = CountingState(self.wanted_labels,
@@ -448,8 +461,70 @@ class Pipeline:
             if self.cap is not None:
                 self.cap.release()
 
+    def _cvat_step(self, frame_rgb, framenum):
+        """Split-mode step with host annotation merge between NMS and
+        encoding (reference ordering deepdish.py:995 -> 1001 -> 1008)."""
+        import jax.numpy as jnp
+        fs = self.framestep
+        bg, snap = fs.detect_only(self.state, frame_rgb)
+        self.state = self.state._replace(bg=bg)
+        valid = np.asarray(snap.valid)
+        tlwh = np.asarray(snap.tlwh)[valid]
+        labels = [self.wanted_labels[i]
+                  for i in np.asarray(snap.label)[valid]]
+        scores = np.asarray(snap.score)[valid]
+        bo, lo, so = self.framerec.process_boxes(
+            framenum, list(tlwh), labels, list(scores))
+        D = self.tracker_cfg.max_detections
+        n = min(len(bo), D)
+        p_tlwh = np.zeros((D, 4), np.float32)
+        p_scores = np.zeros((D,), np.float32)
+        p_labels = np.zeros((D,), np.int32)
+        p_valid = np.zeros((D,), bool)
+        for i in range(n):
+            p_tlwh[i] = bo[i]
+            p_scores[i] = so[i]
+            name = lo[i]
+            p_labels[i] = (self.wanted_labels.index(name)
+                           if name in self.wanted_labels else 0)
+            p_valid[i] = True
+        self.state, out, snap2, dets = fs.encode_track(
+            self.state, frame_rgb, jnp.asarray(p_tlwh),
+            jnp.asarray(p_labels), jnp.asarray(p_scores),
+            jnp.asarray(p_valid))
+        ids = np.asarray(out.track_id)
+        states = np.asarray(out.state)
+        self.framerec.link_frame(framenum, ids, np.asarray(out.matched_det))
+        self.framerec.link_new_tracks(framenum, ids, states,
+                                      np.asarray(out.hits))
+        slot_det, delmask = self.framerec.tracking_overrides(
+            framenum, ids, states, np.asarray(out.time_since_update))
+        table = self.state.table
+        if (slot_det >= 0).any():
+            table = force_update_slots(self.tracker_cfg, table,
+                                       jnp.asarray(slot_det), dets)
+        if delmask.any():
+            table = delete_slots(self.tracker_cfg, table,
+                                 jnp.asarray(delmask))
+        if (slot_det >= 0).any() or delmask.any():
+            self.state = self.state._replace(table=table)
+            out = out._replace(
+                state=table.state,
+                time_since_update=table.time_since_update,
+                hits=table.hits, track_id=table.track_id,
+                tlwh=_boxops.xyah_to_tlwh(table.mean[:, :4]),
+                label_count=table.label_count,
+                label_conf=table.label_conf)
+        return out, snap2
+
     def _device_step(self, frames_rgb):
         """Run the fused program; returns per-frame outputs (host numpy)."""
+        if self.framerec is not None:
+            results = []
+            for i, frame in enumerate(frames_rgb):
+                framenum = self.frame_count + 1 + i
+                results.append(self._cvat_step(frame, framenum))
+            return results
         skip_n = self.args.object_detector_skip_frames or 0
         if len(frames_rgb) == 1:
             if skip_n and self._skip_rem > 0 and self._prev_raw is not None:
@@ -736,6 +811,15 @@ class Pipeline:
         """deepdish.py:791-815."""
         self.running = False
         print('Shutting down pipeline.')
+        if self.args.output_cvat_dir is not None and self.framerec:
+            print('Writing CVAT output.')
+            os.makedirs(self.args.output_cvat_dir, exist_ok=True)
+            tree = self.framerec.xml_output()
+            outfile = os.path.join(self.args.output_cvat_dir,
+                                   'annotations.xml')
+            with open(outfile, 'wb') as f:
+                tree.write(f, xml_declaration=True, encoding='utf-8',
+                           short_empty_elements=False)
         if self.mqtt:
             if self.args.mqtt_verbosity > 1:
                 payload = {'acp_ts': str(time()), 'acp_event': 'shutdown',
