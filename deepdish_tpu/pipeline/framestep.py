@@ -119,11 +119,9 @@ class FrameStep:
              integral[y2, xi] + integral[yi, xi])
         return s >= self.step_cfg.background_ratio * w * h
 
-    def _postprocess_raw(self, frame, integral, xyxy, classes, scores,
-                         valid, params):
-        """Shared tail after the detector: filters, NMS, crop+embed."""
+    def _filter_and_nms(self, integral, xyxy, classes, scores, valid):
+        """Box filtering + pipeline NMS -> compacted DetectionSnapshot."""
         cfg = self.step_cfg
-        tcfg = self.tracker_cfg
         H, W = self.frame_h, self.frame_w
 
         vocab = self._label_lut[jnp.clip(classes, 0,
@@ -151,22 +149,24 @@ class FrameStep:
         # pipeline class-agnostic NMS (deepdish.py:995)
         order, _keep = nmsops.nms_tlwh(tlwh, scores, valid,
                                        cfg.nms_max_overlap)
-        D = tcfg.max_detections
-        sel = order[:D]
+        sel = order[:self.tracker_cfg.max_detections]
         ok = sel >= 0
         sel = jnp.clip(sel, 0, tlwh.shape[0] - 1)
-        d_tlwh = jnp.where(ok[:, None], tlwh[sel], 0.0)
-        d_score = jnp.where(ok, scores[sel], 0.0)
-        d_label = jnp.where(ok, vocab[sel], 0)
+        return DetectionSnapshot(
+            tlwh=jnp.where(ok[:, None], tlwh[sel], 0.0),
+            label=jnp.where(ok, vocab[sel], 0),
+            score=jnp.where(ok, scores[sel], 0.0), valid=ok)
 
+    def _postprocess_raw(self, frame, integral, xyxy, classes, scores,
+                         valid, params):
+        """Shared tail after the detector: filters, NMS, crop+embed."""
+        snap = self._filter_and_nms(integral, xyxy, classes, scores, valid)
         # batched crop + embed (replaces generate_detections.py:192-213)
         feats, _enc_ok = self.encoder.encode_boxes(
-            frame, d_tlwh, ok, params.get("enc"))
-
-        dets = tt.Detections(tlwh=d_tlwh, confidence=d_score,
-                             label=d_label, feature=feats, valid=ok)
-        snap = DetectionSnapshot(tlwh=d_tlwh, label=d_label, score=d_score,
-                                 valid=ok)
+            frame, snap.tlwh, snap.valid, params.get("enc"))
+        dets = tt.Detections(tlwh=snap.tlwh, confidence=snap.score,
+                             label=snap.label, feature=feats,
+                             valid=snap.valid)
         return dets, snap
 
     def _detect_raw(self, params, frame):
@@ -197,36 +197,9 @@ class FrameStep:
         post-NMS detections BEFORE encoding, deepdish.py:995->1001): runs
         bgsub + detector + filters + NMS, returns the compacted candidate
         boxes without encoding/tracking."""
-        cfg = self.step_cfg
-        tcfg = self.tracker_cfg
-        H, W = self.frame_h, self.frame_w
         bg, integral, frame = self._apply_bgsub(bg, frame)
-        xyxy, classes, scores, valid = self._detect_raw(params, frame)
-        vocab = self._label_lut[jnp.clip(classes, 0,
-                                         self._label_lut.shape[0] - 1)]
-        valid = valid & (vocab >= 0) & (scores >= cfg.score_threshold)
-        raw_tlwh = boxops.xyxy_to_tlwh(xyxy)
-        any_nan = jnp.any(jnp.where(valid[:, None],
-                                    ~jnp.isfinite(raw_tlwh), False))
-        valid = valid & ~any_nan
-        x = jnp.floor(jnp.clip(raw_tlwh[:, 0], 0, W))
-        y = jnp.floor(jnp.clip(raw_tlwh[:, 1], 0, H))
-        w = jnp.floor(jnp.clip(raw_tlwh[:, 2], 0, W - x))
-        h = jnp.floor(jnp.clip(raw_tlwh[:, 3], 0, H - y))
-        tlwh = jnp.stack([x, y, w, h], axis=1)
-        valid = valid & (w * h <= cfg.spurious_area_frac * (W * H))
-        valid = valid & (w * h > 0)
-        if integral is not None:
-            valid = valid & self._motion_ok(integral, x, y, w, h)
-        order, _ = nmsops.nms_tlwh(tlwh, scores, valid, cfg.nms_max_overlap)
-        D = tcfg.max_detections
-        sel = order[:D]
-        ok = sel >= 0
-        sel = jnp.clip(sel, 0, tlwh.shape[0] - 1)
-        snap = DetectionSnapshot(
-            tlwh=jnp.where(ok[:, None], tlwh[sel], 0.0),
-            label=jnp.where(ok, vocab[sel], 0),
-            score=jnp.where(ok, scores[sel], 0.0), valid=ok)
+        raw = self._detect_raw(params, frame)
+        snap = self._filter_and_nms(integral, *raw)
         return bg, snap
 
     def _encode_track(self, params, state: PipelineState, frame,

@@ -1,0 +1,91 @@
+"""ctypes bindings + lazy build for the native C++ frame loader.
+
+See native/frameloader.cpp. The library is built on first use with the
+system g++/OpenCV (cached next to the source); if the toolchain or OpenCV
+dev headers are unavailable the caller can fall back to the Python
+cv2.VideoCapture path.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libframeloader.so"))
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                       check=True, capture_output=True, timeout=300)
+        return os.path.exists(_LIB_PATH)
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.fl_open.restype = ctypes.c_void_p
+    lib.fl_open.argtypes = [ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                            ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.fl_next_chunk.restype = ctypes.c_int
+    lib.fl_next_chunk.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                  ctypes.POINTER(ctypes.c_ubyte),
+                                  ctypes.POINTER(ctypes.c_int)]
+    lib.fl_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+class NativeFrameLoader:
+    """Parallel multi-stream decoder feeding (S, F, H, W, 3) uint8 chunks."""
+
+    def __init__(self, paths: List[str], out_w: int, out_h: int,
+                 queue_depth: int = 8):
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError("native frame loader unavailable "
+                               "(g++/OpenCV dev missing?)")
+        self._lib = lib
+        self.n_streams = len(paths)
+        self.out_w, self.out_h = out_w, out_h
+        arr = (ctypes.c_char_p * len(paths))(
+            *[p.encode() for p in paths])
+        self._handle = lib.fl_open(arr, len(paths), out_w, out_h,
+                                   queue_depth)
+        if not self._handle:
+            raise RuntimeError("fl_open failed")
+
+    def next_chunk(self, chunk: int):
+        """Returns (frames (S, chunk, H, W, 3) uint8, counts (S,) int32);
+        counts[i] < chunk signals end of stream i."""
+        out = np.empty((self.n_streams, chunk, self.out_h, self.out_w, 3),
+                       np.uint8)
+        counts = np.zeros((self.n_streams,), np.int32)
+        total = self._lib.fl_next_chunk(
+            self._handle, chunk,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+        return out, counts, total
+
+    def close(self):
+        if self._handle:
+            self._lib.fl_close(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
