@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .mars import FEATURE_DIM, INPUT_SHAPE, MarsNet
-from .preprocess import crop_resize_patches
+from .preprocess import crop_resize_patches, crop_resize_patches_mxu
 
 
 class EncoderSpec:
@@ -37,7 +37,7 @@ class EncoderSpec:
                               patches)
 
     def encode_boxes(self, image, boxes_tlwh, valid, params=None):
-        patches, ok = crop_resize_patches(
+        patches, ok = crop_resize_patches_mxu(
             image, boxes_tlwh, valid, self.height, self.width)
         feats = self.apply(patches, params)
         return jnp.where(ok[:, None], feats, 0.0), ok

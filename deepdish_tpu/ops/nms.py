@@ -26,12 +26,22 @@ _NEG = -jnp.inf
 
 def _greedy(overlap: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
             max_overlap: float):
-    """Shared greedy loop.
+    """Greedy NMS as a Jacobi fixpoint — identical results to the
+    sequential pick loop, but TPU-friendly.
+
+    Greedy NMS has a closed recursive form: in pick order (score
+    descending, ties -> highest index, matching the reference's
+    pick-from-end-of-argsort), box j survives iff no surviving
+    earlier-ranked box suppresses it. Instead of K sequential pick steps
+    (slow scalar control flow on TPU), iterate
+
+        keep <- valid & ~any(S_upper & keep)
+
+    which converges to that unique fixpoint in as many sweeps as the
+    longest suppression chain (2-4 in practice), each sweep one (K, K)
+    masked reduction on the VPU.
 
     overlap[i, j]: suppression metric of candidate j against picked box i.
-    Picks highest score first (ties -> highest index, matching the
-    reference's pick-from-end-of-argsort order), suppresses j when
-    overlap[i, j] > max_overlap.
 
     Returns (order, keep):
       order: (K,) int32, pick order; entries beyond the number of picks = -1.
@@ -40,27 +50,31 @@ def _greedy(overlap: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     k = scores.shape[0]
     idx = jnp.arange(k, dtype=jnp.int32)
 
-    def body(step, carry):
-        alive, order = carry
-        masked = jnp.where(alive, scores, _NEG)
-        best_score = jnp.max(masked)
-        any_alive = jnp.any(alive)
-        # Highest index among ties (reference picks from end of argsort).
-        is_best = (masked == best_score) & alive
-        pick = jnp.max(jnp.where(is_best, idx, -1))
-        do_pick = any_alive & (pick >= 0)
-        order = order.at[step].set(jnp.where(do_pick, pick, -1))
-        row = overlap[jnp.maximum(pick, 0)]
-        suppress = (row > max_overlap) & do_pick
-        alive = alive & ~suppress
-        alive = alive & (idx != pick)
-        return alive, order
+    # pick order: primary score desc, secondary index desc
+    rank = jnp.lexsort((-idx, -scores))          # original idx per rank
+    valid_r = valid[rank]
+    # suppression in rank space, restricted to strictly-earlier ranks
+    S = (overlap[rank][:, rank] > max_overlap)
+    upper = (jnp.arange(k)[:, None] < jnp.arange(k)[None, :])
+    S = S & upper & valid_r[:, None]
 
-    order0 = jnp.full((k,), -1, dtype=jnp.int32)
-    _, order = jax.lax.fori_loop(0, k, body, (valid, order0))
-    keep = jnp.zeros((k,), dtype=bool)
-    keep = jnp.where(
-        jnp.any(order[:, None] == idx[None, :], axis=0), True, keep)
+    def cond(carry):
+        return carry[1]
+
+    def body(carry):
+        keep, _ = carry
+        new = valid_r & ~jnp.any(S & keep[:, None], axis=0)
+        return new, jnp.any(new != keep)
+
+    keep_r, _ = jax.lax.while_loop(cond, body,
+                                   (valid_r, jnp.asarray(True)))
+
+    # pick order = kept boxes in rank order
+    n_picked = jnp.cumsum(keep_r.astype(jnp.int32)) - 1
+    order = jnp.full((k,), -1, jnp.int32)
+    order = order.at[jnp.where(keep_r, n_picked, k)].set(rank, mode="drop")
+    keep = jnp.zeros((k,), bool).at[jnp.where(keep_r, rank, k)].set(
+        True, mode="drop")
     return order, keep
 
 

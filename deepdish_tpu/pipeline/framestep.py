@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import tracker as tt
-from ..models.preprocess import resize_bilinear
+from ..models.preprocess import resize_bilinear_mxu
 from ..ops import bgsub
 from ..ops import boxes as boxops
 from ..ops import nms as nmsops
@@ -171,7 +171,7 @@ class FrameStep:
 
     def _detect_raw(self, params, frame):
         det = self.detector
-        resized = resize_bilinear(frame, det.height, det.width)
+        resized = resize_bilinear_mxu(frame, det.height, det.width)
         return det.detect(params["det"], resized,
                           jnp.float32(self.frame_w),
                           jnp.float32(self.frame_h))

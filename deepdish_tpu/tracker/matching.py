@@ -82,30 +82,54 @@ def matching_cascade(cfg: TrackerConfig,
                      det_valid: jnp.ndarray):
     """Age-levelled appearance cascade (linear_assignment.py:78-141).
 
+    The reference loops over all `max_age` (=60) levels and skips empty
+    ones; here the DISTINCT time_since_update values present among
+    confirmed tracks (ascending, capped at max_age like the reference's
+    level range) are compacted first, and a while_loop visits only those —
+    in steady state one or two assignment solves per frame instead of 60
+    guarded branches. Early-exits when no unmatched detections remain
+    (linear_assignment.py:125-126).
+
     Returns (matched_det (T,), det_taken (D,)).
     """
     T, D = app_cost.shape
     K = max(T, D)
     confirmed = state == CONFIRMED
+    BIG = jnp.int32(1 << 30)
 
-    def body(level, carry):
-        matched_det, det_taken = carry
-        row_mask = confirmed & (time_since_update == 1 + level)
+    # distinct levels (tsu values), ascending; tsu > max_age is outside the
+    # cascade's level range and correctly never matches appearance-wise
+    eligible_tsu = jnp.where(
+        confirmed & (time_since_update <= cfg.max_age),
+        time_since_update, BIG)
+    sorted_tsu = jnp.sort(eligible_tsu)
+    prev = jnp.concatenate(
+        [jnp.full((1,), -1, sorted_tsu.dtype), sorted_tsu[:-1]])
+    distinct = jnp.where((sorted_tsu != prev) & (sorted_tsu < BIG),
+                         sorted_tsu, BIG)
+    levels = jnp.sort(distinct)
+    n_levels = jnp.sum(levels < BIG)
+
+    def cond(carry):
+        i, _, det_taken = carry
+        return (i < n_levels) & jnp.any(det_valid & ~det_taken)
+
+    def body(carry):
+        i, matched_det, det_taken = carry
+        lv = levels[jnp.minimum(i, T - 1)]
+        row_mask = confirmed & (time_since_update == lv)
         col_mask = det_valid & ~det_taken
-
-        def run(_):
-            mc, cm = masked_min_cost_matching(
-                app_cost, row_mask, track_id, col_mask,
-                cfg.max_cosine_distance, K)
-            return (jnp.where(mc >= 0, mc, matched_det), det_taken | cm)
-
-        return jax.lax.cond(
-            jnp.any(row_mask) & jnp.any(col_mask), run,
-            lambda _: (matched_det, det_taken), None)
+        mc, cm = masked_min_cost_matching(
+            app_cost, row_mask, track_id, col_mask,
+            cfg.max_cosine_distance, K)
+        return (i + 1, jnp.where(mc >= 0, mc, matched_det),
+                det_taken | cm)
 
     matched0 = jnp.full((T,), -1, jnp.int32)
     taken0 = jnp.zeros((D,), bool)
-    return jax.lax.fori_loop(0, cfg.max_age, body, (matched0, taken0))
+    _, matched, taken = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), matched0, taken0))
+    return matched, taken
 
 
 def iou_stage(cfg: TrackerConfig,

@@ -112,3 +112,28 @@ def test_detector_smoke(name):
     assert valid.shape == (16,)
     # no NaNs even with random weights
     assert np.isfinite(np.asarray(boxes)[np.asarray(valid)]).all()
+
+
+def test_crop_resize_mxu_matches_gather(rng):
+    from deepdish_tpu.models.preprocess import (crop_resize_patches,
+                                                crop_resize_patches_mxu)
+    img = rng.randint(0, 255, size=(120, 160, 3)).astype(np.uint8)
+    boxes = np.array([[20, 10, 30, 60], [100, 40, 40, 70],
+                      [-5, -5, 30, 40], [150, 110, 40, 40]], np.float32)
+    valid = np.ones(4, bool)
+    p1, ok1 = crop_resize_patches(jnp.asarray(img), jnp.asarray(boxes),
+                                  jnp.asarray(valid), 32, 16)
+    p2, ok2 = crop_resize_patches_mxu(jnp.asarray(img), jnp.asarray(boxes),
+                                      jnp.asarray(valid), 32, 16)
+    np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+    # bf16 interpolation tolerance
+    assert np.abs(np.asarray(p1) - np.asarray(p2)).max() < 3.0
+
+
+def test_resize_mxu_matches_gather(rng):
+    from deepdish_tpu.models.preprocess import (resize_bilinear,
+                                                resize_bilinear_mxu)
+    img = rng.randint(0, 255, size=(72, 96, 3)).astype(np.uint8)
+    a = np.asarray(resize_bilinear(jnp.asarray(img), 36, 48))
+    b = np.asarray(resize_bilinear_mxu(jnp.asarray(img), 36, 48))
+    assert np.abs(a - b).max() < 3.0
