@@ -154,6 +154,9 @@ def build_parser() -> argparse.ArgumentParser:
         help='jax platform override (e.g. cpu)')
     add('--max-frames', default=None, type=int, metavar='N',
         help='stop after N frames (benchmarks/tests)')
+    add('--state-checkpoint', default=None, metavar='FILE',
+        help='checkpoint/restore the FULL tracker+bgsub state (beyond the '
+             'counters-only log restore of the reference)')
     return p
 
 

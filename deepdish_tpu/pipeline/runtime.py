@@ -46,6 +46,7 @@ from .elements import (CameraCountLine, CameraImage, CountingStats,
                        RenderInfo, TempInfo, TimingInfo, TopDownObj,
                        TopDownView, TrackedObject, TrackedPath,
                        TrackedPathIntersection)
+from .checkpoint import load_state, save_state
 from .framerecords import FrameRecords
 from .framestep import FrameStep, FrameStepConfig
 from ..tracker.overrides import delete_slots, force_update_slots
@@ -166,6 +167,19 @@ class Pipeline:
         self.state = self.framestep.init_state()
         self._prev_raw = None
         self._skip_rem = 0
+
+        # full-state checkpoint restore (TPU-native extension of the
+        # reference's counters-only --restore-from-log)
+        if args.state_checkpoint and os.path.exists(args.state_checkpoint):
+            try:
+                self.state, counters, fc = load_state(
+                    args.state_checkpoint, self.state)
+                self.counting.restore(counters)
+                self.frame_count = fc
+                print(f'Restored pipeline state from '
+                      f'{args.state_checkpoint} (frame {fc}).')
+            except (ValueError, KeyError) as e:
+                print(f'State checkpoint ignored: {e}')
 
         # CVAT annotation merge (deepdish.py:613-641, framerecords.py)
         self.framerec = None
@@ -430,7 +444,13 @@ class Pipeline:
                     self.update_payload_with_state(payload)
                 with open(self.log, mode='a+') as f:
                     f.write(json.dumps(payload) + '\n')
+            self._save_checkpoint()
             await asyncio.sleep(self.heartbeat_delay_secs)
+
+    def _save_checkpoint(self):
+        if self.args.state_checkpoint:
+            save_state(self.args.state_checkpoint, self.state,
+                       self.counting.counters_payload(), self.frame_count)
 
     # ------------------------------------------------------------------
     # Stages
@@ -811,6 +831,7 @@ class Pipeline:
         """deepdish.py:791-815."""
         self.running = False
         print('Shutting down pipeline.')
+        self._save_checkpoint()
         if self.args.output_cvat_dir is not None and self.framerec:
             print('Writing CVAT output.')
             os.makedirs(self.args.output_cvat_dir, exist_ok=True)
