@@ -21,6 +21,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from .ssd_mobilenet import SSDMobileNetDetector
+from .yolov3 import YOLOv3Detector
 from .yolov5 import YOLOv5Detector
 from .efficientdet import EfficientDetLite0Detector
 
@@ -73,6 +74,12 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
     if "yolov5" in name:
         det = YOLOv5Detector(params=params, max_outputs=max_outputs,
                              score_threshold=max(score_threshold, 0.25))
+        det.labels = {i: n for i, n in enumerate(load_labels(label_file))}
+        det.label_offset = 0
+        return det
+    if "yolo" in name:  # yolov3 / yolo.h5 family (deepdish.py:486-487)
+        det = YOLOv3Detector(params=params, max_outputs=max_outputs,
+                             score_threshold=score_threshold)
         det.labels = {i: n for i, n in enumerate(load_labels(label_file))}
         det.label_offset = 0
         return det

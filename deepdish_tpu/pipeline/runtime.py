@@ -339,6 +339,26 @@ class Pipeline:
             self.output = cv2.VideoWriter(args.output, fourcc, fps,
                                           self.input_size)
         self.fontlib = FontLib(self.input_size[0])
+        # framebuffer sink (deepdish.py:767-789)
+        self.framebufdev = None
+        self.framebufres = None
+        if args.framebuffer:
+            dev = args.framebuffer_device
+            fbX = dev[-3:]
+            vsizefile = f'/sys/class/graphics/{fbX}/virtual_size'
+            if os.path.exists(dev) and os.path.exists(vsizefile):
+                w_, h_ = args.framebuffer_width, args.framebuffer_height
+                if w_ is None or h_ is None:
+                    import re as _re
+                    nums = _re.findall('(.*),(.*)',
+                                       open(vsizefile).read())[0]
+                    w_ = w_ or int(nums[0])
+                    h_ = h_ or int(nums[1])
+                self.framebufdev = dev
+                self.framebufres = (w_, h_)
+                print(f'Framebuffer device: {dev} resolution: {w_},{h_}')
+            else:
+                print(f'Invalid framebuffer device: {dev}')
 
     # ------------------------------------------------------------------
     async def get_cpu_temp(self):
@@ -773,6 +793,23 @@ class Pipeline:
         out_bgr = cv2.cvtColor(out_rgba, cv2.COLOR_RGBA2BGR)
         if self.output is not None:
             self.output.write(out_bgr)
+        if self.framebufdev is not None:
+            try:
+                fb = cv2.resize(out_rgba, self.framebufres)
+                fb = cv2.cvtColor(fb, cv2.COLOR_RGBA2BGRA)
+                with open(self.framebufdev, 'wb') as f:
+                    f.write(fb.tobytes())
+            except (OSError, cv2.error) as e:
+                # a failed write disables the sink (deepdish.py:1216-1221)
+                print(f'Framebuffer write failed, disabling: {e}')
+                self.framebufdev = None
+        if self.args.stream_path:
+            ok, enc = cv2.imencode('.jpg', out_bgr)
+            if ok:
+                tmp = self.args.stream_path + '.tmp'
+                with open(tmp, 'wb') as f:
+                    f.write(enc.tobytes())
+                os.replace(tmp, self.args.stream_path)
         await self.streaminfo.set_frame(out_bgr)
 
     def _text_output(self, handle, elements):

@@ -137,3 +137,29 @@ def test_resize_mxu_matches_gather(rng):
     a = np.asarray(resize_bilinear(jnp.asarray(img), 36, 48))
     b = np.asarray(resize_bilinear_mxu(jnp.asarray(img), 36, 48))
     assert np.abs(a - b).max() < 3.0
+
+
+def test_yolov3_smoke():
+    det = create_detector("yolo.h5", max_outputs=8, score_threshold=0.3)
+    img = jnp.zeros((det.height, det.width, 3), jnp.float32)
+    boxes, classes, scores, valid = det.detect_jit(img, 640.0, 480.0)
+    assert boxes.shape == (8, 4)
+    assert np.isfinite(np.asarray(boxes)[np.asarray(valid)]).all()
+
+
+def test_pbtxt_labelmap():
+    from deepdish_tpu.models.labelmap import parse_pbtxt_labelmap
+    text = '''
+item {
+  name: "/m/01g317"
+  id: 1
+  display_name: "person"
+}
+item {
+  name: "/m/0199g"
+  id: 2
+  display_name: "bicycle"
+}
+'''
+    got = parse_pbtxt_labelmap(text)
+    assert got == {1: "person", 2: "bicycle"}
