@@ -20,6 +20,8 @@ import numpy as np
 
 def main():
     import jax
+    from deepdish_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from deepdish_tpu import tracker as tt
     from deepdish_tpu.models import create_box_encoder, create_detector
     from deepdish_tpu.pipeline import FrameStep, FrameStepConfig

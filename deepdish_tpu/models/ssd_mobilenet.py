@@ -194,7 +194,7 @@ class SSDMobileNetDetector:
 
         # reorder (ymin,xmin,ymax,xmax) -> (x1,y1,x2,y2) * original size
         scale = jnp.stack([orig_w, orig_h, orig_w, orig_h]).astype(jnp.float32)
-        xyxy = top_boxes[:, jnp.array([1, 0, 3, 2])] * scale
+        xyxy = top_boxes[:, np.array([1, 0, 3, 2])] * scale
 
         _, keep = nmsops.nms_xyxy_per_class(
             xyxy, top_scores, top_classes, conf_ok, self.iou_threshold)

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _INF = jnp.inf
 
@@ -53,8 +54,8 @@ def _solve_ascending(cost: jnp.ndarray, n_rows, n_cols, active=True):
     """
     R, C = cost.shape
     dtype = cost.dtype
-    col_ids = jnp.arange(C, dtype=jnp.int32)
-    pos_ids = jnp.arange(C, dtype=jnp.int32)
+    col_ids = jnp.asarray(np.arange(C, dtype=np.int32))
+    pos_ids = col_ids
     enable = jnp.asarray(active) & (n_rows <= n_cols) & (n_cols > 0)
 
     def augment_row(cur_row, state):
@@ -118,7 +119,7 @@ def _solve_ascending(cost: jnp.ndarray, n_rows, n_cols, active=True):
             dj_cond, dj_body, init)
 
         # --- Dual variable updates (no-ops when this row is inactive) ---
-        row_ids = jnp.arange(R, dtype=jnp.int32)
+        row_ids = jnp.asarray(np.arange(R, dtype=np.int32))
         du = jnp.where(
             sr & (row_ids != cur_row),
             min_val - spc[jnp.clip(row2col, 0, C - 1)],
@@ -174,7 +175,7 @@ def solve_lsap(cost: jnp.ndarray, n_rows, n_cols) -> jnp.ndarray:
                                    active=n_rows > n_cols)
         out = jnp.full((K,), -1, jnp.int32)
         rows = col2row  # for each col (as row of the transpose): matched row
-        cols = jnp.arange(K, dtype=jnp.int32)
+        cols = jnp.asarray(np.arange(K, dtype=np.int32))
         idx = jnp.where(rows >= 0, rows, K)  # K = out of bounds -> dropped
         return out.at[idx].set(cols, mode="drop")
 

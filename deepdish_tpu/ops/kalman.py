@@ -25,13 +25,20 @@ _STD_WEIGHT_POSITION = 1.0 / 20
 _STD_WEIGHT_VELOCITY = 1.0 / 160
 
 
+import numpy as _np
+
+_F8 = _np.eye(8, dtype=_np.float32)
+_F8[_np.arange(4), _np.arange(4) + 4] = 1.0
+_H48 = _np.eye(4, 8, dtype=_np.float32)
+
+
 def _motion_mat(dtype):
-    f = jnp.eye(8, dtype=dtype)
-    return f.at[jnp.arange(4), jnp.arange(4) + 4].set(1.0)
+    # numpy constant: avoids an eager device op at trace time
+    return jnp.asarray(_F8, dtype)
 
 
 def _update_mat(dtype):
-    return jnp.eye(4, 8, dtype=dtype)
+    return jnp.asarray(_H48, dtype)
 
 
 def initiate(measurement_xyah: jnp.ndarray):

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import boxes as boxops
 
@@ -48,14 +49,14 @@ def _greedy(overlap: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
       keep:  (K,) bool keep mask.
     """
     k = scores.shape[0]
-    idx = jnp.arange(k, dtype=jnp.int32)
+    idx = jnp.asarray(np.arange(k, dtype=np.int32))
 
     # pick order: primary score desc, secondary index desc
     rank = jnp.lexsort((-idx, -scores))          # original idx per rank
     valid_r = valid[rank]
     # suppression in rank space, restricted to strictly-earlier ranks
     S = (overlap[rank][:, rank] > max_overlap)
-    upper = (jnp.arange(k)[:, None] < jnp.arange(k)[None, :])
+    upper = jnp.asarray(np.arange(k)[:, None] < np.arange(k)[None, :])
     S = S & upper & valid_r[:, None]
 
     def cond(carry):

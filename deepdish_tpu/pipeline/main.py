@@ -34,6 +34,8 @@ async def amain(argv=None):
     if args.device:
         import jax
         jax.config.update('jax_platforms', args.device)
+    from ..utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     pipeline = Pipeline(args)
     loop = asyncio.get_event_loop()
