@@ -39,6 +39,8 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.fl_open.restype = ctypes.c_void_p
     lib.fl_open.argtypes = [ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
                             ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.fl_open_yuv.restype = ctypes.c_void_p
+    lib.fl_open_yuv.argtypes = lib.fl_open.argtypes
     lib.fl_next_chunk.restype = ctypes.c_int
     lib.fl_next_chunk.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                   ctypes.POINTER(ctypes.c_ubyte),
@@ -52,7 +54,7 @@ class NativeFrameLoader:
     """Parallel multi-stream decoder feeding (S, F, H, W, 3) uint8 chunks."""
 
     def __init__(self, paths: List[str], out_w: int, out_h: int,
-                 queue_depth: int = 8):
+                 queue_depth: int = 8, yuv420: bool = False):
         lib = load_library()
         if lib is None:
             raise RuntimeError("native frame loader unavailable "
@@ -60,18 +62,23 @@ class NativeFrameLoader:
         self._lib = lib
         self.n_streams = len(paths)
         self.out_w, self.out_h = out_w, out_h
+        self.yuv420 = yuv420
         arr = (ctypes.c_char_p * len(paths))(
             *[p.encode() for p in paths])
-        self._handle = lib.fl_open(arr, len(paths), out_w, out_h,
-                                   queue_depth)
+        opener = lib.fl_open_yuv if yuv420 else lib.fl_open
+        self._handle = opener(arr, len(paths), out_w, out_h, queue_depth)
         if not self._handle:
             raise RuntimeError("fl_open failed")
 
     def next_chunk(self, chunk: int):
-        """Returns (frames (S, chunk, H, W, 3) uint8, counts (S,) int32);
-        counts[i] < chunk signals end of stream i."""
-        out = np.empty((self.n_streams, chunk, self.out_h, self.out_w, 3),
-                       np.uint8)
+        """Returns (frames, counts (S,) int32, total). RGB mode:
+        (S, chunk, H, W, 3) uint8; YUV420 mode: (S, chunk, H*3/2, W)."""
+        if self.yuv420:
+            out = np.empty((self.n_streams, chunk,
+                            self.out_h * 3 // 2, self.out_w), np.uint8)
+        else:
+            out = np.empty((self.n_streams, chunk, self.out_h, self.out_w,
+                            3), np.uint8)
         counts = np.zeros((self.n_streams,), np.int32)
         total = self._lib.fl_next_chunk(
             self._handle, chunk,

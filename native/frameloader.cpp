@@ -63,14 +63,16 @@ struct StreamQueue {
 
 struct Loader {
   int n_streams, out_w, out_h;
+  bool yuv420;
   size_t frame_bytes;
   std::vector<std::unique_ptr<StreamQueue>> queues;
   std::vector<std::thread> workers;
   std::atomic<bool> stop{false};
 
-  Loader(const char** paths, int n, int w, int h, int depth)
-      : n_streams(n), out_w(w), out_h(h),
-        frame_bytes(static_cast<size_t>(w) * h * 3) {
+  Loader(const char** paths, int n, int w, int h, int depth, bool yuv)
+      : n_streams(n), out_w(w), out_h(h), yuv420(yuv),
+        frame_bytes(yuv ? static_cast<size_t>(w) * h * 3 / 2
+                        : static_cast<size_t>(w) * h * 3) {
     for (int i = 0; i < n; ++i) {
       queues.emplace_back(new StreamQueue(depth));
       std::string path = paths[i];
@@ -92,7 +94,7 @@ struct Loader {
 
   void decode_loop(int idx, const std::string& path) {
     cv::VideoCapture cap(path);
-    cv::Mat bgr, resized, rgb;
+    cv::Mat bgr, resized, out;
     while (!stop && cap.isOpened()) {
       if (!cap.read(bgr) || bgr.empty()) break;
       if (bgr.cols != out_w || bgr.rows != out_h) {
@@ -100,9 +102,12 @@ struct Loader {
       } else {
         resized = bgr;
       }
-      cv::cvtColor(resized, rgb, cv::COLOR_BGR2RGB);
+      // YUV420 (I420 planar) halves the host->device transfer; the device
+      // converts back to RGB (deepdish_tpu/ops/colorspace.py).
+      cv::cvtColor(resized, out,
+                   yuv420 ? cv::COLOR_BGR2YUV_I420 : cv::COLOR_BGR2RGB);
       std::vector<unsigned char> buf(frame_bytes);
-      std::memcpy(buf.data(), rgb.data, frame_bytes);
+      std::memcpy(buf.data(), out.data, frame_bytes);
       queues[idx]->push(std::move(buf));
       if (stop) break;
     }
@@ -118,7 +123,19 @@ void* fl_open(const char** paths, int n_streams, int out_w, int out_h,
               int queue_depth) {
   try {
     return new Loader(paths, n_streams, out_w, out_h,
-                      queue_depth > 0 ? queue_depth : 8);
+                      queue_depth > 0 ? queue_depth : 8, false);
+  } catch (...) {
+    return nullptr;
+  }
+}
+
+// Same as fl_open but frames are emitted as planar YUV420 (I420): buffer
+// layout per frame is (H*3/2, W) uint8 — half the bytes of RGB.
+void* fl_open_yuv(const char** paths, int n_streams, int out_w, int out_h,
+                  int queue_depth) {
+  try {
+    return new Loader(paths, n_streams, out_w, out_h,
+                      queue_depth > 0 ? queue_depth : 8, true);
   } catch (...) {
     return nullptr;
   }

@@ -47,3 +47,19 @@ def test_resize_path(videos):
         frames, counts, total = fl.next_chunk(2)
         assert frames.shape == (1, 2, H // 2, W // 2, 3)
         assert total == 2
+
+
+def test_yuv_mode(videos):
+    import cv2
+    from deepdish_tpu.ops.colorspace import yuv420_to_rgb
+    import jax.numpy as jnp
+    with NativeFrameLoader(videos[:1], W, H, yuv420=True) as fl:
+        frames, counts, total = fl.next_chunk(2)
+        assert frames.shape == (1, 2, H * 3 // 2, W)
+        assert total == 2
+        rgb = np.asarray(yuv420_to_rgb(jnp.asarray(frames[0, 0]), H, W))
+        # same frame decoded in RGB mode
+    with NativeFrameLoader(videos[:1], W, H) as fl:
+        rgb_frames, _, _ = fl.next_chunk(1)
+    err = np.abs(rgb - rgb_frames[0, 0].astype(np.float32))
+    assert np.median(err) <= 2.0
