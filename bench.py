@@ -30,6 +30,7 @@ def main():
         if "--chunk" in sys.argv else 32
     n_chunks = int(sys.argv[sys.argv.index("--chunks") + 1]) \
         if "--chunks" in sys.argv else 8
+    use_yuv = "--yuv" in sys.argv
 
     H, W = 720, 1280
     det = create_detector("ssd_mobilenet", max_outputs=32)
@@ -51,9 +52,19 @@ def main():
     state = fs.init_state()
     # warm-up / compile
     t0 = time.time()
-    state, outs, snaps = fs.run_chunk(state, frames)
+    state, outs, snaps = run(state, frames)
     jax.block_until_ready(outs.track_id)
     compile_s = time.time() - t0
+
+    if use_yuv:
+        import cv2
+        yuv = np.stack([cv2.cvtColor(cv2.cvtColor(f, cv2.COLOR_RGB2BGR),
+                                     cv2.COLOR_BGR2YUV_I420)
+                        for f in frames])
+        frames = yuv
+        run = fs.run_chunk_yuv
+    else:
+        run = fs.run_chunk
 
     # Two distinct host chunks so every dispatch transfers fresh data;
     # the next chunk's H2D copy is issued before blocking on the current
@@ -66,7 +77,7 @@ def main():
     for i in range(n_chunks):
         cur = nxt
         nxt = jax.device_put(host_chunks[(i + 1) % 2])
-        state, outs, snaps = fs.run_chunk(state, cur)
+        state, outs, snaps = run(state, cur)
         # host reads the per-frame snapshots, as the real pipeline does
         np.asarray(outs.track_id)
         np.asarray(snaps.valid)
@@ -76,7 +87,7 @@ def main():
 
     print(json.dumps({
         "metric": "720p offline FPS (SSD-MobileNet+MARS+DeepSORT fused, "
-                  f"chunk={chunk}, 1 chip)",
+                  f"chunk={chunk}{', yuv' if use_yuv else ''}, 1 chip)",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / 1000.0, 3),

@@ -59,7 +59,7 @@ def _yuv_kernel(y_ref, u_ref, v_ref, r_ref, g_ref, b_ref):
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def yuv420_to_rgb_pallas(yuv, h: int, w: int, tile_h: int = 16):
+def yuv420_to_rgb_pallas(yuv, h: int, w: int, tile_h: int = 8):
     """Pallas version: one fused VMEM pass per row-tile, three output
     planes stacked afterwards (cheap fusion). Requires w % 128 == 0 and
     h % (2*tile_h) == 0; falls back to the XLA path otherwise."""

@@ -36,6 +36,7 @@ import numpy as np
 from .. import tracker as tt
 from ..models.preprocess import resize_bilinear_mxu
 from ..ops import bgsub
+from ..ops import colorspace
 from ..ops import boxes as boxops
 from ..ops import nms as nmsops
 
@@ -90,6 +91,7 @@ class FrameStep:
 
         self._step_jit = jax.jit(self._step)
         self._chunk_jit = jax.jit(self._run_chunk)
+        self._chunk_yuv_jit = jax.jit(self._run_chunk_yuv)
         self._track_only_jit = jax.jit(self._track_only)
         self._detect_only_jit = jax.jit(self._detect_only)
         self._encode_track_jit = jax.jit(self._encode_track)
@@ -243,6 +245,15 @@ class FrameStep:
         table, outs = jax.lax.scan(scan_body, state.table, dets)
         return PipelineState(table, bg), outs, snaps
 
+    def _run_chunk_yuv(self, params, state: PipelineState, yuv_frames):
+        """Chunk entry taking planar I420 frames (F, H*3/2, W) uint8 — half
+        the host->device bytes; conversion to RGB happens on device
+        (ops/colorspace, Pallas kernel on TPU)."""
+        frames = jax.vmap(
+            lambda f: colorspace.yuv420_to_rgb_pallas(
+                f, self.frame_h, self.frame_w))(yuv_frames)
+        return self._run_chunk(params, state, frames)
+
     # ---- host API ----
 
     def init_table(self) -> tt.TrackTable:
@@ -264,6 +275,10 @@ class FrameStep:
     def run_chunk(self, state: PipelineState, frames_rgb: np.ndarray):
         """F frames in one dispatch. frames_rgb uint8 (F, H, W, 3)."""
         return self._chunk_jit(self._params, state, frames_rgb)
+
+    def run_chunk_yuv(self, state: PipelineState, yuv_frames: np.ndarray):
+        """F I420 frames (F, H*3/2, W) uint8 in one dispatch."""
+        return self._chunk_yuv_jit(self._params, state, yuv_frames)
 
     def detect_only(self, state: PipelineState, frame_rgb):
         """CVAT split mode, stage 1: returns (new_bg, DetectionSnapshot)."""
