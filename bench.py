@@ -3,13 +3,16 @@
 Measures the fused pipeline (720p uint8 frame -> resize -> SSD-MobileNetV1
 -> decode/NMS -> crop+MARS embed -> full Deep SORT tracker step) in chunked
 throughput mode (vmapped detector + lax.scan tracker, one dispatch per
-chunk), including host->device frame transfer and host retrieval of the
-per-frame track snapshots.
+chunk), including host->device frame transfer (explicit jax.device_put —
+the implicit numpy-arg transfer path is ~20x slower over the axon tunnel)
+and host retrieval of the per-frame track snapshots.
+
+Options: --chunk N (default 32), --chunks N (default 10), --yuv (send
+planar I420, half the transfer bytes, device-side conversion).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured FPS / 1000 (the driver's north-star target for the
-reference pipeline rebuilt on one TPU v5e chip; the reference itself
-publishes no numbers — BASELINE.md).
+vs_baseline is measured FPS / 1000 (the driver's north-star target; the
+reference publishes no numbers — BASELINE.md).
 """
 import json
 import sys
@@ -29,7 +32,7 @@ def main():
     chunk = int(sys.argv[sys.argv.index("--chunk") + 1]) \
         if "--chunk" in sys.argv else 32
     n_chunks = int(sys.argv[sys.argv.index("--chunks") + 1]) \
-        if "--chunks" in sys.argv else 8
+        if "--chunks" in sys.argv else 10
     use_yuv = "--yuv" in sys.argv
 
     H, W = 720, 1280
@@ -49,41 +52,45 @@ def main():
         f[200:500, x:x + 160] = 230
         frames[i] = f
 
-    state = fs.init_state()
-    # warm-up / compile
-    t0 = time.time()
-    state, outs, snaps = run(state, frames)
-    jax.block_until_ready(outs.track_id)
-    compile_s = time.time() - t0
-
     if use_yuv:
         import cv2
-        yuv = np.stack([cv2.cvtColor(cv2.cvtColor(f, cv2.COLOR_RGB2BGR),
-                                     cv2.COLOR_BGR2YUV_I420)
-                        for f in frames])
-        frames = yuv
+        frames = np.stack([
+            cv2.cvtColor(cv2.cvtColor(f, cv2.COLOR_RGB2BGR),
+                         cv2.COLOR_BGR2YUV_I420) for f in frames])
         run = fs.run_chunk_yuv
     else:
         run = fs.run_chunk
 
-    # Two distinct host chunks so every dispatch transfers fresh data;
-    # the next chunk's H2D copy is issued before blocking on the current
-    # results so transfer overlaps device compute (async dispatch).
-    frames2 = np.ascontiguousarray(frames[::-1])
-    host_chunks = [frames, frames2]
+    # Two distinct host chunks so every dispatch transfers fresh data; the
+    # next chunk's H2D copy is issued before blocking on the current
+    # results so transfer overlaps device compute.
+    host_chunks = [frames, np.ascontiguousarray(frames[::-1])]
+
     state = fs.init_state()
     t0 = time.time()
+    state, outs, snaps = run(state, jax.device_put(frames))
+    jax.block_until_ready(outs.track_id)
+    compile_s = time.time() - t0
+
+    # The axon TPU tunnel is a shared pool with highly variable queueing
+    # (identical programs measured 1.2-100 ms/frame at different times), so
+    # report the MEDIAN per-chunk time across n_chunks.
+    state = fs.init_state()
+    times = []
     nxt = jax.device_put(host_chunks[0])
     for i in range(n_chunks):
+        t0 = time.time()
         cur = nxt
         nxt = jax.device_put(host_chunks[(i + 1) % 2])
         state, outs, snaps = run(state, cur)
         # host reads the per-frame snapshots, as the real pipeline does
         np.asarray(outs.track_id)
         np.asarray(snaps.valid)
-    jax.block_until_ready(outs.track_id)
-    dt = time.time() - t0
-    fps = (chunk * n_chunks) / dt
+        jax.block_until_ready(outs.track_id)
+        times.append(time.time() - t0)
+    med = float(np.median(times))
+    dt = float(np.sum(times))
+    fps = chunk / med
 
     print(json.dumps({
         "metric": "720p offline FPS (SSD-MobileNet+MARS+DeepSORT fused, "
@@ -92,7 +99,8 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / 1000.0, 3),
     }))
-    print(f"# compile={compile_s:.1f}s measure={dt:.2f}s "
+    print(f"# compile={compile_s:.1f}s total={dt:.2f}s "
+          f"chunk_times_s={[round(t, 3) for t in times]} "
           f"device={jax.devices()[0].device_kind}", file=sys.stderr)
 
 

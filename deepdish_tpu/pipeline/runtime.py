@@ -565,21 +565,25 @@ class Pipeline:
                 framenum = self.frame_count + 1 + i
                 results.append(self._cvat_step(frame, framenum))
             return results
+        import jax
         skip_n = self.args.object_detector_skip_frames or 0
         if len(frames_rgb) == 1:
+            # explicit device_put: the implicit numpy->jit transfer path is
+            # far slower over the axon tunnel
+            frame = jax.device_put(np.ascontiguousarray(frames_rgb[0]))
             if skip_n and self._skip_rem > 0 and self._prev_raw is not None:
                 # reuse previous raw detector output (deepdish.py:929-938)
                 self._skip_rem -= 1
                 self.state, out, snap = self.framestep.step_skip(
-                    self.state, frames_rgb[0], self._prev_raw)
+                    self.state, frame, self._prev_raw)
             else:
                 self.state, out, snap, raw = self.framestep.step(
-                    self.state, frames_rgb[0])
+                    self.state, frame)
                 self._prev_raw = raw
                 self._skip_rem = skip_n
             return [(out, snap)]
         self.state, outs, snaps = self.framestep.run_chunk(
-            self.state, np.stack(frames_rgb))
+            self.state, jax.device_put(np.stack(frames_rgb)))
         F = len(frames_rgb)
         return [
             (tt.TrackStepOutput(*(np.asarray(x)[i] for x in outs)),
