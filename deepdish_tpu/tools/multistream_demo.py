@@ -57,7 +57,10 @@ def main(argv=None):
     fs = FrameStep(det, enc, cfg, wanted, (H, W),
                    FrameStepConfig(score_threshold=args.score_threshold))
     S = len(args.inputs)
-    eng = MultiStreamEngine(fs, n_streams=S, mesh=make_mesh())
+    # mesh size must divide the stream count
+    n_dev = max(d for d in range(1, min(len(jax.devices()), S) + 1)
+                if S % d == 0)
+    eng = MultiStreamEngine(fs, n_streams=S, mesh=make_mesh(n_dev))
     states = eng.init_states()
 
     if args.line:
