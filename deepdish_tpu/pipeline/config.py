@@ -154,6 +154,10 @@ def build_parser() -> argparse.ArgumentParser:
         help='jax platform override (e.g. cpu)')
     add('--max-frames', default=None, type=int, metavar='N',
         help='stop after N frames (benchmarks/tests)')
+    add('--profile-dir', default=None, metavar='DIR',
+        help='write a jax.profiler device trace for the first frames '
+             '(device-time view of the latency taxonomy, SURVEY.md 5.1)')
+    add('--profile-frames', default=32, type=int, metavar='N')
     add('--state-checkpoint', default=None, metavar='FILE',
         help='checkpoint/restore the FULL tracker+bgsub state (beyond the '
              'counters-only log restore of the reference)')

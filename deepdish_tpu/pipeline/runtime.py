@@ -600,6 +600,14 @@ class Pipeline:
         dummy = np.zeros((h, w, 3), np.uint8)
         await self.loop.run_in_executor(None, self._warmup, dummy)
         self.kickstart.set()
+        # device-time tracing (SURVEY.md 5.1): the host taxonomy measures
+        # wall time; the jax trace shows where device time actually goes.
+        if self.args.profile_dir:
+            import jax
+            jax.profiler.start_trace(self.args.profile_dir)
+            self._profiling = True
+        else:
+            self._profiling = False
 
         pending = []
         while self.running:
@@ -624,6 +632,12 @@ class Pipeline:
                 None, self._device_step, frames_rgb)
             t2 = time()
             dt_each = (t2 - t1) / len(batch)
+            if self._profiling and \
+                    self.frame_count >= self.args.profile_frames:
+                import jax
+                jax.profiler.stop_trace()
+                self._profiling = False
+                print(f'Wrote device trace to {self.args.profile_dir}')
             for (orig_framenum, frame, dt_cap, t_frame, t_q1), (out, snap) \
                     in zip(batch, results):
                 self.frame_count += 1
