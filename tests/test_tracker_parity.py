@@ -161,3 +161,18 @@ def test_label_votes():
     name = tt.get_label(counts[slot], np.asarray(out.label_conf)[slot],
                         ["person", "car", "bicycle", "motorbike"])
     assert name == "car"
+
+
+def test_motorbike_bicycle_rule():
+    # track.py:162-188: lean toward 'bicycle' unless motorbike prob
+    # exceeds bicycle prob by more than 4x.
+    labels = ["person", "bicycle", "motorbike", "car"]
+    counts = np.zeros(4, np.int64)
+    confs = np.zeros(4, np.float64)
+    counts[2], confs[2] = 3, 3 * 0.9   # motorbike x3
+    counts[1], confs[1] = 2, 2 * 0.8   # bicycle x2
+    assert tt.get_label(counts, confs, labels) == "bicycle"
+    counts[2], confs[2] = 40, 40 * 0.9  # overwhelming motorbike
+    assert tt.get_label(counts, confs, labels) == "motorbike"
+    name, conf = tt.get_label(counts, confs, labels, return_confidence=True)
+    assert name == "motorbike" and abs(conf - 0.9) < 1e-9
