@@ -52,3 +52,20 @@ def test_chunk_equals_sequential(fs, rng):
     np.testing.assert_allclose(np.asarray(t1.table.mean),
                                np.asarray(t2.table.mean),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_chunk_yuv_equals_rgb(fs, rng):
+    import cv2
+    frames = _frames(4, rng)
+    yuv = np.stack([cv2.cvtColor(cv2.cvtColor(f, cv2.COLOR_RGB2BGR),
+                                 cv2.COLOR_BGR2YUV_I420) for f in frames])
+    t1 = fs.init_state()
+    t1, outs_rgb, _ = fs.run_chunk(t1, frames)
+    t2 = fs.init_state()
+    t2, outs_yuv, _ = fs.run_chunk_yuv(t2, yuv)
+    # colorspace roundtrip shifts pixel values slightly; detector outputs
+    # with random weights are noisy, so compare shapes + finiteness and
+    # that the program runs — exact equality is not expected.
+    assert np.asarray(outs_yuv.track_id).shape == \
+        np.asarray(outs_rgb.track_id).shape
+    assert np.isfinite(np.asarray(outs_yuv.tlwh)).all()
