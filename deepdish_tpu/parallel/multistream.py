@@ -38,6 +38,12 @@ class MultiStreamEngine:
 
     def __init__(self, framestep: FrameStep, n_streams: int,
                  mesh: Optional[Mesh] = None):
+        # force the XLA assignment solver: the Pallas kernel is not
+        # exercised under vmap in this environment
+        if framestep.tracker_cfg.lsap_impl != "xla":
+            import dataclasses
+            framestep.tracker_cfg = dataclasses.replace(
+                framestep.tracker_cfg, lsap_impl="xla")
         self.fs = framestep
         self.n_streams = n_streams
         self.mesh = mesh if mesh is not None else make_mesh()

@@ -14,8 +14,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+import jax as _jax
+
 from ..ops.assignment import solve_lsap
 from .types import TrackerConfig, CONFIRMED, TENTATIVE, INFTY_COST
+
+
+def _solve(cost, n_rows, n_cols, impl: str):
+    """Dispatch between the XLA while_loop solver and the Pallas kernel
+    (3x faster on v5e; see ops/assignment_pallas.py)."""
+    if impl == "pallas" or (impl == "auto" and
+                            _jax.default_backend() == "tpu"):
+        from ..ops.assignment_pallas import solve_lsap_pallas
+        return solve_lsap_pallas(cost, n_rows, n_cols)
+    return solve_lsap(cost, n_rows, n_cols)
 
 _BIGKEY = jnp.int32(2 ** 30)
 _PAD_COST = 7e7
@@ -26,7 +38,8 @@ def masked_min_cost_matching(cost_full: jnp.ndarray,
                              row_key: jnp.ndarray,
                              col_mask: jnp.ndarray,
                              max_distance: float,
-                             K: int):
+                             K: int,
+                             lsap_impl: str = "auto"):
     """One min_cost_matching call (linear_assignment.py:11-75) on masked
     rows/cols of a precomputed (T, D) cost matrix.
 
@@ -55,7 +68,7 @@ def masked_min_cost_matching(cost_full: jnp.ndarray,
     sub = jnp.where((ri[:, None] < n_rows) & (ri[None, :] < n_cols),
                     sub, _PAD_COST)
 
-    col4row = solve_lsap(sub, n_rows, n_cols)            # (K,)
+    col4row = _solve(sub, n_rows, n_cols, lsap_impl)     # (K,)
 
     # Accept matches with cost <= max_distance (linear_assignment.py:70-74).
     got_col = col4row >= 0
@@ -121,7 +134,7 @@ def matching_cascade(cfg: TrackerConfig,
         col_mask = det_valid & ~det_taken
         mc, cm = masked_min_cost_matching(
             app_cost, row_mask, track_id, col_mask,
-            cfg.max_cosine_distance, K)
+            cfg.max_cosine_distance, K, cfg.lsap_impl)
         return (i + 1, jnp.where(mc >= 0, mc, matched_det),
                 det_taken | cm)
 
@@ -155,7 +168,8 @@ def iou_stage(cfg: TrackerConfig,
 
     def run(_):
         mc, cm = masked_min_cost_matching(
-            iou_cost, row_mask, row_key, col_mask, cfg.max_iou_distance, K)
+            iou_cost, row_mask, row_key, col_mask, cfg.max_iou_distance, K,
+            cfg.lsap_impl)
         return (jnp.where(mc >= 0, mc, cascade_matched), det_taken | cm)
 
     return jax.lax.cond(

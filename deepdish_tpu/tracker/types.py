@@ -50,6 +50,10 @@ class TrackerConfig:
     max_age: int = 60
     n_init: int = 3
     gating_threshold: float = 9.4877  # chi2inv95[4]
+    # assignment solver backend: "auto" = Pallas kernel on TPU, XLA solver
+    # elsewhere; "xla" forces the lax.while_loop solver (required under
+    # vmap, e.g. the multi-stream engine); "pallas" forces the kernel.
+    lsap_impl: str = "auto"
 
 
 class TrackTable(NamedTuple):
