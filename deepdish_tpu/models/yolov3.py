@@ -7,10 +7,11 @@ Darknet-53 backbone (conv-BN-LeakyReLU 0.1, residual stages 1/2/8/8/4),
 `decode_netout` with the standard COCO anchors (tools/yolo.py:160). Score =
 obj * class prob, per-class greedy NMS at IoU 0.45 (tools/yolo.py:111-124).
 
-Deviation: the reference letterboxes the input (tools/yolo.py:141-151);
-this detector consumes the pipeline's stretch-resized frame directly (the
-standard pipeline preprocess), which only changes aspect handling for
-non-square inputs.
+Letterboxing: like the reference (tools/yolo.py:141-151) the frame is
+scaled preserving aspect ratio onto a gray-128 canvas; the pipeline calls
+`configure_letterbox(frame_w, frame_h)` once (static shapes) and the decode
+maps boxes back to frame coordinates (the `correct_yolo_boxes` math at
+tools/yolo.py:78-86).
 """
 from __future__ import annotations
 
@@ -156,6 +157,18 @@ class YOLOv3Detector:
         self.nms_threshold = nms_threshold
         self.top_k = top_k
         self.input_size = input_size
+        self.letterbox = True
+        self._lb = None  # (left, top, new_w, new_h) in input pixels
+
+    def configure_letterbox(self, frame_w: int, frame_h: int):
+        """Static letterbox geometry for a given frame size
+        (tools/yolo.py:141-151: aspect-preserving scale onto gray 128)."""
+        scale = min(self.input_size / frame_w, self.input_size / frame_h)
+        nw = int(round(frame_w * scale))
+        nh = int(round(frame_h * scale))
+        self._lb = ((self.input_size - nw) // 2,
+                    (self.input_size - nh) // 2, nw, nh)
+        return self._lb
 
     def detect(self, params, image_resized, orig_w, orig_h):
         heads = self.net.apply(params, image_resized)
@@ -170,6 +183,15 @@ class YOLOv3Detector:
         scale = jnp.stack([orig_w, orig_h, orig_w, orig_h]).astype(
             jnp.float32)
         xy, wh = rows[:, 0:2], rows[:, 2:4]
+        if self._lb is not None:
+            # undo the letterbox (tools/yolo.py:78-86): boxes are normalized
+            # to the padded input; map back to frame-relative coordinates
+            left, top, nw, nh = self._lb
+            IN = float(self.input_size)
+            off = jnp.asarray(np.array([left / IN, top / IN], np.float32))
+            sc = jnp.asarray(np.array([IN / nw, IN / nh], np.float32))
+            xy = (xy - off) * sc
+            wh = wh * sc
         xyxy = jnp.concatenate([xy - wh / 2, xy + wh / 2], axis=1)[idx] \
             * scale
         top_classes = classes[idx]

@@ -173,7 +173,18 @@ class FrameStep:
 
     def _detect_raw(self, params, frame):
         det = self.detector
-        resized = resize_bilinear_mxu(frame, det.height, det.width)
+        if getattr(det, "letterbox", False):
+            # aspect-preserving resize onto a gray-128 canvas
+            # (tools/yolo.py:141-151); geometry is static per frame size
+            left, top, nw, nh = det.configure_letterbox(self.frame_w,
+                                                        self.frame_h)
+            small = resize_bilinear_mxu(frame, nh, nw)
+            resized = jnp.pad(
+                small, ((top, det.height - nh - top),
+                        (left, det.width - nw - left), (0, 0)),
+                constant_values=128.0)
+        else:
+            resized = resize_bilinear_mxu(frame, det.height, det.width)
         return det.detect(params["det"], resized,
                           jnp.float32(self.frame_w),
                           jnp.float32(self.frame_h))

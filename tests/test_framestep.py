@@ -69,3 +69,20 @@ def test_chunk_yuv_equals_rgb(fs, rng):
     assert np.asarray(outs_yuv.track_id).shape == \
         np.asarray(outs_rgb.track_id).shape
     assert np.isfinite(np.asarray(outs_yuv.tlwh)).all()
+
+
+def test_yolov3_letterbox_in_framestep(rng):
+    from deepdish_tpu.models import create_box_encoder, create_detector
+    det = create_detector("yolo.h5", max_outputs=8, score_threshold=0.3)
+    enc = create_box_encoder("dummy")
+    cfg = tt.TrackerConfig(max_tracks=8, max_detections=4, gallery_size=8,
+                           pending_size=4, num_labels=2, max_age=5)
+    fs2 = FrameStep(det, enc, cfg, ["person"], (96, 128),
+                    FrameStepConfig(score_threshold=0.3))
+    state = fs2.init_state()
+    frame = rng.randint(0, 255, size=(96, 128, 3)).astype(np.uint8)
+    state, out, snap, raw = fs2.step(state, frame)
+    assert np.isfinite(np.asarray(snap.tlwh)).all()
+    # letterbox geometry for 128x96 into 416: width-limited
+    left, top, nw, nh = det._lb
+    assert nw == 416 and nh == 312 and top == 52 and left == 0

@@ -163,3 +163,21 @@ item {
 '''
     got = parse_pbtxt_labelmap(text)
     assert got == {1: "person", 2: "bicycle"}
+
+
+def test_yolov3_letterbox_geometry():
+    det = create_detector("yolo.h5", max_outputs=8, score_threshold=0.3)
+    left, top, nw, nh = det.configure_letterbox(1280, 720)
+    assert (nw, nh) == (416, 234)
+    assert left == 0 and top == (416 - 234) // 2
+    # decode inverse: a box spanning the full letterboxed content maps to
+    # the full frame
+    import jax.numpy as jnp
+    xy = np.array([[0.5, 0.5]], np.float32)      # center of input
+    wh = np.array([[nw / 416.0, nh / 416.0]], np.float32)
+    off = np.array([left / 416.0, top / 416.0], np.float32)
+    sc = np.array([416.0 / nw, 416.0 / nh], np.float32)
+    xy2 = (xy - off) * sc
+    wh2 = wh * sc
+    np.testing.assert_allclose(xy2, [[0.5, 0.5]], atol=1e-5)
+    np.testing.assert_allclose(wh2, [[1.0, 1.0]], atol=1e-5)
