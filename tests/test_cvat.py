@@ -127,3 +127,55 @@ def test_cvat_pipeline_output(tmp_path, monkeypatch):
     # the two moving rectangles became automatic tracks
     assert len(autos) >= 2
     assert all(len(t.findall('box')) >= 3 for t in autos)
+
+
+@pytest.mark.timeout(600)
+def test_cvat_input_dir_pipeline(tmp_path, monkeypatch):
+    """--input-cvat-dir: frame sequence + annotations.xml drive the merge."""
+    cvat_in = tmp_path / "cvat_in"
+    (cvat_in / "images").mkdir(parents=True)
+    # frame sequence (reference expects images/frame_%06d.jpg from 1)
+    from test_pipeline_e2e import _rect_positions
+    for i in range(12):
+        frame = np.zeros((H, W, 3), np.uint8)
+        for color, (x, y, w, h) in _rect_positions(i):
+            bgr = (0, 0, 255) if color == 'red' else (0, 255, 0)
+            cv2.rectangle(frame, (int(x), int(y)), (int(x + w), int(y + h)),
+                          bgr, -1)
+        cv2.imwrite(str(cvat_in / "images" / f"frame_{i+1:06d}.jpg"), frame)
+    # annotations: one manual person track roughly on the red rectangle
+    root = ET.Element('annotations')
+    meta = ET.SubElement(root, 'meta')
+    task = ET.SubElement(meta, 'task')
+    labels = ET.SubElement(task, 'labels')
+    lab = ET.SubElement(labels, 'label')
+    ET.SubElement(lab, 'name').text = 'person'
+    ET.SubElement(lab, 'color').text = '#ff0000'
+    track = ET.SubElement(root, 'track',
+                          attrib={'id': '3', 'label': 'person'})
+    for f in range(1, 13):
+        x = 20 + (f - 1) * 6
+        ET.SubElement(track, 'box', attrib={
+            'frame': str(f), 'outside': '0', 'occluded': '0',
+            'keyframe': '1', 'z_order': '0',
+            'xtl': str(x), 'ytl': '60', 'xbr': str(x + 40), 'ybr': '120'})
+    ET.ElementTree(root).write(str(cvat_in / "annotations.xml"))
+
+    cvat_out = tmp_path / "cvat_out"
+    monkeypatch.setattr(FrameStep, "detect_only", _scripted_detect_only)
+    monkeypatch.setattr(Pipeline, "_warmup", lambda self, d: None)
+    import asyncio
+    asyncio.run(amain([
+        "--input-cvat-dir", str(cvat_in),
+        "--output-cvat-dir", str(cvat_out),
+        "--wanted-labels", "person", "--model", "ssd_mobilenet",
+        "--encoder-model", "dummy", "--disable-background-subtraction",
+        "--disable-graphics",
+        "--streaming-port", "0", "--control-port", "0", "--device", "cpu",
+    ]))
+    xml = cvat_out / "annotations.xml"
+    assert xml.exists()
+    out_root = ET.parse(str(xml)).getroot()
+    manual = [t for t in out_root.findall('track')
+              if t.get('source') == 'manual']
+    assert manual and manual[0].get('id') == '3'

@@ -181,3 +181,24 @@ def test_restore_from_log(tmp_path, monkeypatch):
     # counters continued from the restored state
     assert lines[-1]["poscount_person"] >= 5
     assert lines[-1]["negcount_person"] >= 2
+
+
+@pytest.mark.timeout(600)
+def test_pipeline_3d_topdown(tmp_path, monkeypatch):
+    """--3d mode: pinhole unprojection + top-down elements render."""
+    video = tmp_path / "v3d.mp4"
+    make_video(video)
+    out_video = tmp_path / "out3d.mp4"
+    monkeypatch.setattr(Pipeline, "_device_step", scripted_device_step)
+    monkeypatch.setattr(Pipeline, "_warmup", lambda self, d: None)
+    import asyncio
+    asyncio.run(amain([
+        "--input", str(video), "--output", str(out_video),
+        "--wanted-labels", "person", "--model", "ssd_mobilenet",
+        "--encoder-model", "dummy", "--max-frames", "12",
+        "--3d", "--sensor-width-mm", "6.69", "--sensor-height-mm", "5.55",
+        "--focallength-mm", "3.2", "--elevation-m", "2",
+        "--tilt-deg", "80", "--topdownview-size-m", "10,10",
+        "--streaming-port", "0", "--control-port", "0", "--device", "cpu",
+    ]))
+    assert out_video.exists() and out_video.stat().st_size > 1000
