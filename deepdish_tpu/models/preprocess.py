@@ -173,13 +173,17 @@ def crop_resize_patches_mxu(image, boxes_tlwh, valid, patch_h: int,
         xs = jnp.clip(xs, sx, jnp.maximum(ex - 1, sx).astype(jnp.float32))
         rows = jnp.asarray(np.arange(H, dtype=np.float32))
         cols = jnp.asarray(np.arange(W, dtype=np.float32))
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(rows[None, :] - ys[:, None]))
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(cols[:, None] - xs[None, :]))
+        # 2-tap weights built directly in the compute dtype (f32 abs/sub,
+        # one cast); exact for the 0/fractional values involved
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(
+            rows[None, :] - ys[:, None])).astype(compute_dtype)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(
+            cols[:, None] - xs[None, :])).astype(compute_dtype)
         # contract rows first: the (patch_h, W, 3) intermediate is ~6x
         # smaller than (H, patch_w, 3), and bf16 halves its HBM traffic
-        mid = jnp.einsum("yh,hwc->ywc", wy.astype(compute_dtype), img,
+        mid = jnp.einsum("yh,hwc->ywc", wy, img,
                          preferred_element_type=compute_dtype)
-        patch = jnp.einsum("ywc,wo->yoc", mid, wx.astype(compute_dtype),
+        patch = jnp.einsum("ywc,wo->yoc", mid, wx,
                            preferred_element_type=jnp.float32)
         return jnp.where(ok, patch, 0.0), ok
 

@@ -14,8 +14,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-import jax as _jax
-
 from ..ops.assignment import solve_lsap
 from .types import TrackerConfig, CONFIRMED, TENTATIVE, INFTY_COST
 
@@ -24,7 +22,7 @@ def _solve(cost, n_rows, n_cols, impl: str):
     """Dispatch between the XLA while_loop solver and the Pallas kernel
     (3x faster on v5e; see ops/assignment_pallas.py)."""
     if impl == "pallas" or (impl == "auto" and
-                            _jax.default_backend() == "tpu"):
+                            jax.default_backend() == "tpu"):
         from ..ops.assignment_pallas import solve_lsap_pallas
         return solve_lsap_pallas(cost, n_rows, n_cols)
     return solve_lsap(cost, n_rows, n_cols)
