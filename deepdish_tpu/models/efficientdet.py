@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Any, List
+from typing import Any
 
 import flax.linen as nn
 import jax

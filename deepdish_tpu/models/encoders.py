@@ -8,14 +8,12 @@ pipeline-level tests and count-parity runs work without any weights.
 """
 from __future__ import annotations
 
-from typing import Callable, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .mars import FEATURE_DIM, INPUT_SHAPE, MarsNet
-from .preprocess import crop_resize_patches, crop_resize_patches_mxu
+from .preprocess import crop_resize_patches_mxu
 
 
 class EncoderSpec:

@@ -18,8 +18,6 @@ from __future__ import annotations
 import os
 from typing import Optional, Sequence
 
-import numpy as np
-
 from .ssd_mobilenet import SSDMobileNetDetector
 from .yolov3 import YOLOv3Detector
 from .yolov5 import YOLOv5Detector

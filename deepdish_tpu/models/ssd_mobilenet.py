@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List
 
 import flax.linen as nn
 import jax

@@ -12,7 +12,7 @@ flax re-implementations in models/{ssd_mobilenet,yolov5,efficientdet}.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import cv2
 import numpy as np

@@ -14,7 +14,7 @@ pipeline stage, exactly as in the reference (deepdish.py:995 covers it).
 from __future__ import annotations
 
 import functools
-from typing import Any, List
+from typing import Any
 
 import flax.linen as nn
 import jax

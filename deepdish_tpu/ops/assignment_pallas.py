@@ -25,8 +25,6 @@ State vectors are carried as (1, K) VMEM rows (K = capacity, padded to the
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -10,8 +10,6 @@ the log-based counter restore.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 from .. import tracker as tt

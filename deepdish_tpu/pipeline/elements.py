@@ -10,10 +10,8 @@ see identical output.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
-from PIL import Image, ImageDraw, ImageFont
+from PIL import Image, ImageFont
 
 
 class FontLib:

@@ -26,7 +26,6 @@ overhead and keeping the MXU busy.
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Sequence
 
 import jax

@@ -26,7 +26,7 @@ import os
 import threading
 from collections import deque
 from time import asctime, localtime, sleep, time
-from typing import List, Optional
+from typing import Optional
 
 import cv2
 import numpy as np

@@ -38,7 +38,6 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.device)
     from ..utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    import jax.numpy as jnp
     from .. import tracker as tt
     from ..models import create_box_encoder, create_detector
     from ..parallel import MultiStreamEngine, make_mesh

@@ -7,7 +7,7 @@ result only feeds rendering/counting, not the hot loop.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 

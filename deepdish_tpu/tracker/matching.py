@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.assignment import solve_lsap
-from .types import TrackerConfig, CONFIRMED, TENTATIVE, INFTY_COST
+from .types import TrackerConfig, CONFIRMED, TENTATIVE
 
 
 def _solve(cost, n_rows, n_cols, impl: str):
