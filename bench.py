@@ -1,24 +1,53 @@
-"""Benchmark: offline 720p tracking-by-detection throughput on one chip.
+"""Benchmark: offline 720p decode->count throughput on one TPU chip.
 
-Measures the fused pipeline (720p uint8 frame -> resize -> SSD-MobileNetV1
--> decode/NMS -> crop+MARS embed -> full Deep SORT tracker step) in chunked
-throughput mode (vmapped detector + lax.scan tracker, one dispatch per
-chunk), including host->device frame transfer (explicit jax.device_put —
-the implicit numpy-arg transfer path is ~20x slower over the axon tunnel)
-and host retrieval of the per-frame track snapshots.
+End-to-end path measured (same code the CLI pipeline runs): mp4 decode via
+the native C++ loader (native/frameloader.cpp, planar I420 out) -> I420
+chunk to device -> fused XLA program (on-device YUV->RGB, resize,
+SSD-MobileNetV1, decode/NMS, crop+MARS embed, full Deep SORT tracker scan)
+-> host reads the per-frame track/count snapshots.
 
-Options: --chunk N (default 32), --chunks N (default 10), --yuv (send
-planar I420, half the transfer bytes, device-side conversion).
+Options:
+  --chunk N     frames per dispatch (default 32)
+  --frames N    total frames to process (default 320)
+  --enc-cap E   appearance-encode capacity per frame (default 8; 0 = every
+                detection slot). Reported overflow is the number of
+                detections past the capacity (0 on this scene).
+  --synthetic   skip the mp4/loader and feed in-memory frames (old mode)
+  --rgb         RGB transport instead of I420
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline is measured FPS / 1000 (the driver's north-star target; the
 reference publishes no numbers — BASELINE.md).
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _arg(flag, default, cast=int):
+    return cast(sys.argv[sys.argv.index(flag) + 1]) \
+        if flag in sys.argv else default
+
+
+def make_video(path, n_frames, h, w):
+    """Synthetic 720p scene with two moving rectangles (keeps the detector
+    + tracker busy deterministically)."""
+    import cv2
+    four = cv2.VideoWriter_fourcc(*"mp4v")
+    wr = cv2.VideoWriter(path, four, 30, (w, h))
+    rng = np.random.RandomState(0)
+    base = rng.randint(0, 80, size=(h, w, 3)).astype(np.uint8)
+    for i in range(n_frames):
+        f = base.copy()
+        x = (40 + i * 9) % (w - 200)
+        y = (30 + i * 5) % (h - 400)
+        f[200:500, x:x + 160] = 230
+        f[y:y + 220, 900:1020] = 180
+        wr.write(f)
+    wr.release()
 
 
 def main():
@@ -29,93 +58,123 @@ def main():
     from deepdish_tpu.models import create_box_encoder, create_detector
     from deepdish_tpu.pipeline import FrameStep, FrameStepConfig
 
-    chunk = int(sys.argv[sys.argv.index("--chunk") + 1]) \
-        if "--chunk" in sys.argv else 32
-    n_chunks = int(sys.argv[sys.argv.index("--chunks") + 1]) \
-        if "--chunks" in sys.argv else 10
-    # Default transport is planar I420 (the native loader's production
-    # path): half the bytes of RGB, converted on device. --rgb to disable.
+    chunk = _arg("--chunk", 32)
+    total_frames = _arg("--frames", 320)
+    enc_cap = _arg("--enc-cap", 8)
     use_yuv = "--rgb" not in sys.argv
+    synthetic = "--synthetic" in sys.argv
 
     H, W = 720, 1280
     det = create_detector("ssd_mobilenet", max_outputs=32)
     enc = create_box_encoder("mars")
     cfg = tt.TrackerConfig(max_tracks=64, max_detections=32,
                            gallery_size=64, num_labels=4)
-    fs = FrameStep(det, enc, cfg, ["person", "car"], (H, W))
+    fs = FrameStep(det, enc, cfg, ["person", "car"], (H, W),
+                   FrameStepConfig(encode_capacity=enc_cap))
 
-    rng = np.random.RandomState(0)
-    # moving-rectangle synthetic scene (keeps detector outputs non-trivial)
-    frames = np.zeros((chunk, H, W, 3), np.uint8)
-    base = rng.randint(0, 80, size=(H, W, 3)).astype(np.uint8)
-    for i in range(chunk):
-        f = base.copy()
-        x = (40 + i * 24) % (W - 200)
-        f[200:500, x:x + 160] = 230
-        frames[i] = f
+    run = fs.run_chunk_yuv if use_yuv else fs.run_chunk
 
-    if use_yuv:
-        import cv2
-        frames = np.stack([
-            cv2.cvtColor(cv2.cvtColor(f, cv2.COLOR_RGB2BGR),
-                         cv2.COLOR_BGR2YUV_I420) for f in frames])
-        run = fs.run_chunk_yuv
-    else:
-        run = fs.run_chunk
+    loader = None
+    if not synthetic:
+        try:
+            from deepdish_tpu.utils.native import NativeFrameLoader
+            video = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".bench_video.mp4")
+            if not os.path.exists(video):
+                make_video(video, max(total_frames, 320), H, W)
+            loader = NativeFrameLoader([video], W, H, yuv420=use_yuv)
+        except (RuntimeError, OSError) as e:
+            print(f"# native loader unavailable ({e}); falling back to "
+                  "synthetic in-memory frames", file=sys.stderr)
 
-    # Two distinct host chunks so every dispatch transfers fresh data; the
-    # next chunk's H2D copy is issued before blocking on the current
-    # results so transfer overlaps device compute.
-    host_chunks = [frames, np.ascontiguousarray(frames[::-1])]
+    def synth_chunk(i):
+        rng = np.random.RandomState(0)
+        frames = np.zeros((chunk, H, W, 3), np.uint8)
+        base = rng.randint(0, 80, size=(H, W, 3)).astype(np.uint8)
+        for j in range(chunk):
+            f = base.copy()
+            x = (40 + (i * chunk + j) * 24) % (W - 200)
+            f[200:500, x:x + 160] = 230
+            frames[j] = f
+        if use_yuv:
+            import cv2
+            frames = np.stack([
+                cv2.cvtColor(cv2.cvtColor(f, cv2.COLOR_RGB2BGR),
+                             cv2.COLOR_BGR2YUV_I420) for f in frames])
+        return frames
 
+    def next_chunk(i):
+        if loader is None:
+            return synth_chunk(i) if i * chunk < total_frames else None
+        frames, counts, total = loader.next_chunk(chunk)
+        if total < chunk:
+            return None          # partial tails go through the 1-frame path
+        return frames[0]
+
+    # warm-up compile
     state = fs.init_state()
+    first = next_chunk(0)
     t0 = time.time()
-    state, outs, snaps = run(state, jax.device_put(frames))
+    state, outs, snaps = run(state, jax.device_put(first))
     jax.block_until_ready(outs.track_id)
     compile_s = time.time() - t0
 
-    # The axon TPU tunnel is a shared pool with highly variable queueing
-    # (identical programs measured 1.2-100 ms/frame at different times), so
-    # report the MEDIAN per-chunk time across n_chunks.
+    # ---- decode -> count loop ----
+    # The axon TPU tunnel is a shared pool with highly variable queueing,
+    # so report the MEDIAN per-chunk time. Next chunk's decode + H2D copy
+    # overlap device compute (issue order: put -> run -> read).
     state = fs.init_state()
     times = []
-    nxt = jax.device_put(host_chunks[0])
-    for i in range(n_chunks):
+    overflow = 0
+    n_done = 0
+    cur = jax.device_put(first)
+    i = 1
+    nxt_host = next_chunk(i)
+    while n_done < total_frames and cur is not None:
         t0 = time.time()
-        cur = nxt
-        nxt = jax.device_put(host_chunks[(i + 1) % 2])
+        nxt = jax.device_put(nxt_host) if nxt_host is not None else None
         state, outs, snaps = run(state, cur)
-        # host reads the per-frame snapshots, as the real pipeline does
-        np.asarray(outs.track_id)
-        np.asarray(snaps.valid)
+        ids = np.asarray(outs.track_id)      # host reads, like the pipeline
+        valid = np.asarray(snaps.valid)
         jax.block_until_ready(outs.track_id)
         times.append(time.time() - t0)
+        if enc_cap:
+            overflow += int(valid[:, enc_cap:].sum())
+        n_done += chunk
+        cur = nxt
+        i += 1
+        nxt_host = next_chunk(i) if cur is not None else None
+    if loader is not None:
+        loader.close()
     med = float(np.median(times))
-    dt = float(np.sum(times))
     fps = chunk / med
 
-    # device-resident compute throughput (excludes the tunnel transfer,
-    # which on this shared axon pool caps fresh-data delivery at ~35 MB/s)
-    resident = jax.device_put(host_chunks[0])
+    # device-resident compute throughput (excludes decode + the tunnel
+    # transfer, which on this shared pool caps fresh-data delivery)
+    resident = jax.device_put(first)
     jax.block_until_ready(resident)
     rtimes = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         state, outs, snaps = run(state, resident)
         jax.block_until_ready(outs.track_id)
         rtimes.append(time.time() - t0)
     resident_fps = chunk / float(np.median(rtimes))
 
+    src = "synthetic" if loader is None else "mp4-native-decode"
     print(json.dumps({
-        "metric": "720p offline FPS (SSD-MobileNet+MARS+DeepSORT fused, "
-                  f"chunk={chunk}{', yuv' if use_yuv else ''}, 1 chip)",
+        "metric": "720p offline FPS decode->count (SSD-MobileNet+MARS+"
+                  f"DeepSORT fused, chunk={chunk}"
+                  f"{', yuv' if use_yuv else ''}, enc_cap={enc_cap}, "
+                  f"src={src}, 1 chip)",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / 1000.0, 3),
         "device_resident_fps": round(resident_fps, 1),
+        "encode_overflow_dets": overflow,
     }))
-    print(f"# compile={compile_s:.1f}s total={dt:.2f}s "
-          f"chunk_times_s={[round(t, 3) for t in times]} "
+    print(f"# compile={compile_s:.1f}s frames={n_done} "
+          f"chunk_times_s={[round(t, 3) for t in times[:12]]} "
           f"device={jax.devices()[0].device_kind}", file=sys.stderr)
 
 

@@ -40,8 +40,10 @@ class _InnerBlock(nn.Module):
     def __call__(self, x):
         n = self.features * (2 if self.increase_dim else 1)
         stride = 2 if self.increase_dim else 1
+        # slim.conv2d omits the conv bias whenever normalizer_fn is set
+        # (freeze_model.py:55-59), so conv1 has no bias; conv2 (no BN) does.
         y = nn.Conv(n, (3, 3), strides=(stride, stride), padding="SAME",
-                    name="conv1")(x)
+                    use_bias=False, name="conv1")(x)
         y = _BN(name="bn1")(y)
         y = nn.elu(y)
         # dropout(keep=0.6) is identity at inference (freeze_model.py:62)
@@ -80,10 +82,14 @@ class MarsNet(nn.Module):
     @nn.compact
     def __call__(self, images):
         x = images.astype(self.compute_dtype)
-        x = nn.Conv(32, (3, 3), padding="SAME", name="conv1_1")(x)
+        # BN follows each of these convs, so slim omits their biases
+        # (freeze_model.py:102-110).
+        x = nn.Conv(32, (3, 3), padding="SAME", use_bias=False,
+                    name="conv1_1")(x)
         x = _BN(name="conv1_1_bn")(x)
         x = nn.elu(x)
-        x = nn.Conv(32, (3, 3), padding="SAME", name="conv1_2")(x)
+        x = nn.Conv(32, (3, 3), padding="SAME", use_bias=False,
+                    name="conv1_2")(x)
         x = _BN(name="conv1_2_bn")(x)
         x = nn.elu(x)
         # slim.max_pool2d default padding is VALID (freeze_model.py:116)
@@ -95,7 +101,9 @@ class MarsNet(nn.Module):
         x = _ResidualBlock(64, increase_dim=True, name="conv4_1")(x)
         x = _ResidualBlock(128, name="conv4_3")(x)
         x = x.reshape((x.shape[0], -1))
-        x = nn.Dense(FEATURE_DIM, name="fc1")(x)
+        # fc1 is BN-normalized in slim, so it has no bias either
+        # (freeze_model.py:146-149).
+        x = nn.Dense(FEATURE_DIM, use_bias=False, name="fc1")(x)
         x = _BN(name="fc1_bn")(x)
         x = nn.elu(x)
         x = _BN(name="ball")(x)

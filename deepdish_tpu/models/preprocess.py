@@ -179,11 +179,13 @@ def crop_resize_patches_mxu(image, boxes_tlwh, valid, patch_h: int,
             rows[None, :] - ys[:, None])).astype(compute_dtype)
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(
             cols[:, None] - xs[None, :])).astype(compute_dtype)
-        # contract rows first: the (patch_h, W, 3) intermediate is ~6x
-        # smaller than (H, patch_w, 3), and bf16 halves its HBM traffic
-        mid = jnp.einsum("yh,hwc->ywc", wy, img,
+        # contract columns first: patch_w (64) < patch_h (128), so
+        # img @ Wx costs H*W*patch_w*C MACs vs patch_h*H*W*C for the
+        # row-first order — half the FLOPs for the MARS patch shape, and
+        # the (H, patch_w, 3) bf16 intermediate is small
+        mid = jnp.einsum("hwc,wo->hoc", img, wx,
                          preferred_element_type=compute_dtype)
-        patch = jnp.einsum("ywc,wo->yoc", mid, wx,
+        patch = jnp.einsum("yh,hoc->yoc", wy, mid,
                            preferred_element_type=jnp.float32)
         return jnp.where(ok, patch, 0.0), ok
 

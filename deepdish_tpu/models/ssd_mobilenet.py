@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import nms as nmsops
+from ..ops.onehot import (gather_1d, gather_rows, stable_argsort, topk_desc)
 
 INPUT_SIZE = 300
 NUM_CLASSES = 90  # COCO (without background)
@@ -186,10 +187,13 @@ class SSDMobileNetDetector:
         bad = jnp.any(jnp.isnan(boxes), axis=1) | jnp.isnan(scores)
         scores = jnp.where(bad, 0.0, scores)
 
+        # top-k + gathers as one-hot rank contractions: XLA's top_k/gather
+        # lowerings over the 1917-anchor axis serialize on TPU and cost
+        # ~0.9 ms/frame; the rank-matrix form is ~us (ops/onehot.py).
         k = self.top_k
-        top_scores, idx = jax.lax.top_k(scores, k)
-        top_boxes = boxes[idx]
-        top_classes = classes[idx]
+        top_scores, idx = topk_desc(scores, k)
+        top_boxes = gather_rows(boxes, idx)
+        top_classes = gather_1d(classes, idx)
         conf_ok = top_scores >= self.score_threshold
 
         # reorder (ymin,xmin,ymax,xmax) -> (x1,y1,x2,y2) * original size
@@ -203,9 +207,10 @@ class SSDMobileNetDetector:
         K = self.max_outputs
         keep_key = jnp.where(keep, jnp.arange(k, dtype=jnp.int32),
                              jnp.int32(k))
-        order = jnp.argsort(keep_key, stable=True)[:K]
-        valid = keep[order]
-        return (xyxy[order], top_classes[order], top_scores[order], valid)
+        order = stable_argsort(keep_key)[:K]
+        valid = gather_1d(keep, order)
+        return (gather_rows(xyxy, order), gather_1d(top_classes, order),
+                gather_1d(top_scores, order), valid)
 
     @functools.partial(jax.jit, static_argnums=0)
     def detect_jit(self, image_resized, orig_w, orig_h):

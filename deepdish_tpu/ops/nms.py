@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import boxes as boxops
+from .onehot import argsort_desc_tie_high, gather_1d, gather_rows
 
 _NEG = -jnp.inf
 
@@ -51,11 +52,13 @@ def _greedy(overlap: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     k = scores.shape[0]
     idx = jnp.asarray(np.arange(k, dtype=np.int32))
 
-    # pick order: primary score desc, secondary index desc
-    rank = jnp.lexsort((-idx, -scores))          # original idx per rank
-    valid_r = valid[rank]
+    # pick order: primary score desc, secondary index desc. Sorts and
+    # gathers here are one-hot contractions (ops/onehot.py) because XLA's
+    # sort/gather lowerings serialize on TPU.
+    rank = argsort_desc_tie_high(scores)         # original idx per rank
+    valid_r = gather_1d(valid, rank)
     # suppression in rank space, restricted to strictly-earlier ranks
-    S = (overlap[rank][:, rank] > max_overlap)
+    S = (gather_rows(gather_rows(overlap, rank).T, rank).T > max_overlap)
     upper = jnp.asarray(np.arange(k)[:, None] < np.arange(k)[None, :])
     S = S & upper & valid_r[:, None]
 
@@ -72,10 +75,12 @@ def _greedy(overlap: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
 
     # pick order = kept boxes in rank order
     n_picked = jnp.cumsum(keep_r.astype(jnp.int32)) - 1
-    order = jnp.full((k,), -1, jnp.int32)
-    order = order.at[jnp.where(keep_r, n_picked, k)].set(rank, mode="drop")
-    keep = jnp.zeros((k,), bool).at[jnp.where(keep_r, rank, k)].set(
-        True, mode="drop")
+    slot = jnp.where(keep_r, n_picked, k)
+    hit = slot[:, None] == idx[None, :]                     # (k, k)
+    order = jnp.where(hit.any(0),
+                      (hit * rank[:, None]).sum(0), -1).astype(jnp.int32)
+    kslot = jnp.where(keep_r, rank, k)
+    keep = (kslot[:, None] == idx[None, :]).any(0)
     return order, keep
 
 

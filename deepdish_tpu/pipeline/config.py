@@ -150,6 +150,9 @@ def build_parser() -> argparse.ArgumentParser:
     add('--max-tracks', default=64, type=int, metavar='N')
     add('--max-detections', default=32, type=int, metavar='N')
     add('--gallery-size', default=128, type=int, metavar='N')
+    add('--encode-capacity', default=0, type=int, metavar='E',
+        help='appearance-encode at most E detections per frame (0 = all; '
+             'detections past E are tracked by IoU only that frame)')
     add('--device', default=None, metavar='PLATFORM',
         help='jax platform override (e.g. cpu)')
     add('--max-frames', default=None, type=int, metavar='N',

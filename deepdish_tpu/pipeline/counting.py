@@ -6,7 +6,9 @@ TrackStepOutput arrays the device step returns instead of Python Track
 objects. Semantics preserved:
 
   * deleted tracks whose whole path intersects the countline bump
-    `delcount[label]` and clear their path (:1040-1044, 1303-1312);
+    `delcount[label]` and clear their path (:1040-1044, 1303-1312) —
+    including the reference quirk that only the LAST deleted track of a
+    frame actually contributes (its loop overwrites `delcounts`);
   * confirmed tracks with time_since_update <= 1 append their bottom-centre
     to the path db (:1053-1064);
   * a crossing between the last two path points bumps pos/neg via the sign
@@ -134,15 +136,23 @@ class CountingState:
         events: List[CrossingEvent] = []
         views: List[TrackView] = []
 
-        # deleted tracks first (deepdish.py:1040-1044)
+        # deleted tracks first (deepdish.py:1040-1044). The reference
+        # OVERWRITES `delcounts` per deleted track in its loop, so only the
+        # LAST deleted track of the frame contributes to delcount — faithful
+        # replication here for strict count parity (the per-track paths are
+        # still all cleared, :1303-1312).
+        last_delcount = None
         for slot in np.where(del_ids >= 0)[0]:
             i = int(del_ids[slot])
+            last_delcount = None
             if i in self.db and len(self.db[i]) > 1:
                 if _any_intersection(p1, q1, self.db[i]):
                     lbl, _ = self._label_of(del_lcnt[slot], del_lcnf[slot])
                     if lbl is not None:
-                        self.delcount[lbl] += 1
+                        last_delcount = lbl
             self.db.pop(i, None)
+        if last_delcount is not None:
+            self.delcount[last_delcount] += 1
 
         # live confirmed tracks updated within the last frame
         for slot in range(len(ids)):

@@ -33,11 +33,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import tracker as tt
-from ..models.preprocess import resize_bilinear_mxu
+from ..models.preprocess import crop_resize_patches_mxu, resize_bilinear_mxu
 from ..ops import bgsub
 from ..ops import colorspace
 from ..ops import boxes as boxops
 from ..ops import nms as nmsops
+from ..ops.onehot import gather_1d, gather_rows
 
 
 class DetectionSnapshot(NamedTuple):
@@ -60,6 +61,17 @@ class FrameStepConfig(NamedTuple):
     background_subtraction: bool = False
     background_ratio: float = 0.25      # --background-subtraction-ratio
     background_masking: bool = False    # --enable-background-masking
+    # Appearance-encode capacity per frame: 0 = encode every detection slot
+    # (exact reference semantics). A smaller value crops+embeds only the
+    # first E post-NMS detections (they are compacted in descending-score
+    # order); any detections beyond E keep zero features, so they are still
+    # IoU-matched/tracked but not appearance-matched that frame. The
+    # encoder is the FLOPs hog of the fused program (MARS is ~0.6 GFLOP
+    # per crop), and the reference's own cost scales with the number of
+    # real detections, so a capacity covering the scene's typical load
+    # (e.g. 8) is semantically free on the demo workloads. Overflow is
+    # host-visible as snap.valid[E:].sum().
+    encode_capacity: int = 0
 
 
 class FrameStep:
@@ -83,6 +95,9 @@ class FrameStep:
             if name in self.wanted_labels:
                 lut[idx] = self.wanted_labels.index(name)
         self._label_lut = jnp.asarray(lut)
+
+        D = tracker_cfg.max_detections
+        self._enc_cap = min(step_cfg.encode_capacity or D, D)
 
         self._params = {"det": detector.params}
         if getattr(encoder, "params", None) is not None:
@@ -125,8 +140,9 @@ class FrameStep:
         cfg = self.step_cfg
         H, W = self.frame_h, self.frame_w
 
-        vocab = self._label_lut[jnp.clip(classes, 0,
-                                         self._label_lut.shape[0] - 1)]
+        vocab = gather_1d(self._label_lut,
+                          jnp.clip(classes, 0,
+                                   self._label_lut.shape[0] - 1))
         valid = valid & (vocab >= 0) & (scores >= cfg.score_threshold)
 
         raw_tlwh = boxops.xyxy_to_tlwh(xyxy)
@@ -154,17 +170,31 @@ class FrameStep:
         ok = sel >= 0
         sel = jnp.clip(sel, 0, tlwh.shape[0] - 1)
         return DetectionSnapshot(
-            tlwh=jnp.where(ok[:, None], tlwh[sel], 0.0),
-            label=jnp.where(ok, vocab[sel], 0),
-            score=jnp.where(ok, scores[sel], 0.0), valid=ok)
+            tlwh=jnp.where(ok[:, None], gather_rows(tlwh, sel), 0.0),
+            label=jnp.where(ok, gather_1d(vocab, sel), 0),
+            score=jnp.where(ok, gather_1d(scores, sel), 0.0), valid=ok)
+
+    def _pad_features(self, feats_e):
+        """(E, F) encoder output -> (D, F): slots past the encode capacity
+        carry zero features (cosine distance 1, never appearance-matched)."""
+        D = self.tracker_cfg.max_detections
+        E = feats_e.shape[0]
+        if E == D:
+            return feats_e
+        return jnp.concatenate(
+            [feats_e, jnp.zeros((D - E, feats_e.shape[1]), feats_e.dtype)])
 
     def _postprocess_raw(self, frame, integral, xyxy, classes, scores,
                          valid, params):
         """Shared tail after the detector: filters, NMS, crop+embed."""
         snap = self._filter_and_nms(integral, xyxy, classes, scores, valid)
-        # batched crop + embed (replaces generate_detections.py:192-213)
-        feats, _enc_ok = self.encoder.encode_boxes(
-            frame, snap.tlwh, snap.valid, params.get("enc"))
+        # batched crop + embed (replaces generate_detections.py:192-213);
+        # post-NMS slots are compacted in pick order, so the first E slots
+        # are exactly the E best detections
+        E = self._enc_cap
+        feats_e, _enc_ok = self.encoder.encode_boxes(
+            frame, snap.tlwh[:E], snap.valid[:E], params.get("enc"))
+        feats = self._pad_features(feats_e)
         dets = tt.Detections(tlwh=snap.tlwh, confidence=snap.score,
                              label=snap.label, feature=feats,
                              valid=snap.valid)
@@ -228,7 +258,15 @@ class FrameStep:
         return PipelineState(table, state.bg), out, snap, dets
 
     def _run_chunk(self, params, state: PipelineState, frames):
-        """frames (F, H, W, 3) -> (state, stacked outputs, snaps)."""
+        """frames (F, H, W, 3) -> (state, stacked outputs, snaps).
+
+        Stage structure: sequential MOG2 scan (temporal state) -> vmapped
+        detector+NMS -> per-frame crop, then ONE encoder forward over the
+        whole (F*E,) patch batch (a single large MXU batch instead of F
+        vmap lanes) -> lax.scan tracker.
+        """
+        F = frames.shape[0]
+        E = self._enc_cap
         if self.step_cfg.background_subtraction:
             def bg_scan(bg, frame):
                 bg2, integral, masked = self._apply_bgsub(bg, frame)
@@ -240,13 +278,27 @@ class FrameStep:
 
         def detect_one(frame, integral):
             raw = self._detect_raw(params, frame)
-            return self._postprocess_raw(frame, integral, *raw, params)
+            return self._filter_and_nms(integral, *raw)
 
         if integrals is None:
-            dets, snaps = jax.vmap(
-                lambda f: detect_one(f, None))(masked_frames)
+            snaps = jax.vmap(lambda f: detect_one(f, None))(masked_frames)
         else:
-            dets, snaps = jax.vmap(detect_one)(masked_frames, integrals)
+            snaps = jax.vmap(detect_one)(masked_frames, integrals)
+
+        # crop per frame (each box samples its own frame), embed chunk-wide
+        patches, ok = jax.vmap(
+            lambda f, t, v: crop_resize_patches_mxu(
+                f, t[:E], v[:E], self.encoder.height, self.encoder.width)
+        )(masked_frames, snaps.tlwh, snaps.valid)
+        flat = patches.reshape((F * E,) + patches.shape[2:])
+        feats = self.encoder.apply(flat, params.get("enc"))
+        feats = jnp.where(ok.reshape(F * E)[:, None], feats, 0.0)
+        feats = feats.reshape(F, E, -1)
+        feats = jax.vmap(self._pad_features)(feats)
+
+        dets = tt.Detections(tlwh=snaps.tlwh, confidence=snaps.score,
+                             label=snaps.label, feature=feats,
+                             valid=snaps.valid)
 
         def scan_body(tbl, det):
             tbl, out = tt.step(self.tracker_cfg, tbl, det)

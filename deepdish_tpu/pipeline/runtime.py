@@ -136,6 +136,7 @@ class Pipeline:
 
         self._init_camera()
         self._init_output()
+        self._init_native_loader()
 
         # device programs
         self.detector = create_detector(
@@ -163,23 +164,11 @@ class Pipeline:
                 background_subtraction=not
                     args.disable_background_subtraction,
                 background_ratio=args.background_subtraction_ratio,
-                background_masking=args.enable_background_masking))
+                background_masking=args.enable_background_masking,
+                encode_capacity=args.encode_capacity))
         self.state = self.framestep.init_state()
         self._prev_raw = None
         self._skip_rem = 0
-
-        # full-state checkpoint restore (TPU-native extension of the
-        # reference's counters-only --restore-from-log)
-        if args.state_checkpoint and os.path.exists(args.state_checkpoint):
-            try:
-                self.state, counters, fc = load_state(
-                    args.state_checkpoint, self.state)
-                self.counting.restore(counters)
-                self.frame_count = fc
-                print(f'Restored pipeline state from '
-                      f'{args.state_checkpoint} (frame {fc}).')
-            except (ValueError, KeyError) as e:
-                print(f'State checkpoint ignored: {e}')
 
         # CVAT annotation merge (deepdish.py:613-641, framerecords.py)
         self.framerec = None
@@ -198,6 +187,7 @@ class Pipeline:
         self.framenum_committed = 0
         self.frame_count = 0
         self.final_frame = None
+        self.capture_eof = False
         self.pipeline_sem = asyncio.Semaphore()
 
         # log / restore (deepdish.py:545-561)
@@ -213,6 +203,21 @@ class Pipeline:
             else:
                 with open(self.log, mode='w+') as f:
                     f.truncate()
+
+        # full-state checkpoint restore (TPU-native extension of the
+        # reference's counters-only --restore-from-log). Placed after
+        # counting/frame_count/log init so it can restore into them and
+        # takes precedence over --restore-from-log.
+        if args.state_checkpoint and os.path.exists(args.state_checkpoint):
+            try:
+                self.state, counters, fc = load_state(
+                    args.state_checkpoint, self.state)
+                self.counting.restore(counters)
+                self.frame_count = fc
+                print(f'Restored pipeline state from '
+                      f'{args.state_checkpoint} (frame {fc}).')
+            except (OSError, ValueError, KeyError) as e:
+                print(f'State checkpoint ignored: {e}')
 
         # MQTT
         self.mqtt: Optional[MQTTClient] = None
@@ -266,7 +271,16 @@ class Pipeline:
             '/sys/devices/system/cpu/cpu0/cpufreq/scaling_cur_freq'
         if not os.path.exists(self.cpu_freq_file):
             self.cpu_freq_file = None
-        self.cpu_governor = None
+        # governor file lives next to the freq file (deepdish.py:576-580);
+        # the value is read once before MQTT init (deepdish.py:668) and
+        # reported in the initialisation payload only
+        self.cpu_gov_file = None
+        if self.cpu_freq_file is not None:
+            gov = os.path.join(os.path.dirname(self.cpu_freq_file),
+                               'scaling_governor')
+            if os.path.exists(gov):
+                self.cpu_gov_file = gov
+        self.cpu_governor = self._read_cpu_governor()
 
         self.t_prev = None
         self.loop = None
@@ -319,6 +333,34 @@ class Pipeline:
                 dtype=int).reshape(2, 2)
         self.cameracountline = self.countline.astype(float)
 
+    def _init_native_loader(self):
+        """Offline throughput path: for plain video-file input with
+        --chunk-size > 1, decode via the native C++ loader
+        (native/frameloader.cpp) straight to planar I420 and convert to RGB
+        on device (framestep.run_chunk_yuv) — half the host->device bytes
+        and no per-frame host colorspace work. Falls back silently to the
+        cv2 capture thread when the loader can't be built or the input
+        needs host-side preprocessing (CVAT, flip, simulated camera)."""
+        args = self.args
+        self.native_loader = None
+        self.native_yuv = False
+        if (int(args.chunk_size) > 1 and isinstance(self.input, str)
+                and os.path.isfile(self.input)
+                and args.input_cvat_dir is None
+                and not args.camera_flip and self.simcam is None):
+            try:
+                from ..utils.native import NativeFrameLoader
+                w, h = self.input_size
+                self.native_loader = NativeFrameLoader(
+                    [self.input], w, h, yuv420=True)
+                self.native_yuv = True
+                if self.cap is not None:
+                    self.cap.release()
+                    self.cap = None
+            except (RuntimeError, OSError) as e:
+                print(f'Native frame loader unavailable ({e}); '
+                      'using the cv2 capture thread.')
+
     def _init_output(self):
         args = self.args
         self.output = None
@@ -368,6 +410,16 @@ class Pipeline:
             with open(self.cpu_temp_file) as f:
                 return float(f.read()) / 1000
         except (OSError, ValueError):
+            return None
+
+    def _read_cpu_governor(self):
+        """deepdish.py:831-835."""
+        if not self.cpu_gov_file:
+            return None
+        try:
+            with open(self.cpu_gov_file) as f:
+                return f.read().strip()
+        except OSError:
             return None
 
     async def get_cpu_freq(self):
@@ -476,19 +528,27 @@ class Pipeline:
     # Stages
     async def capture(self, q, box):
         """deepdish.py:837-878."""
+        last_orig = 0
         try:
             while self.running:
                 msg = None
                 while msg is None:
                     await asyncio.sleep(0.003)
                     msg = box.get_message()
+                    # duplicate-frame guard (deepdish.py:906): without
+                    # everyframe sync the capture thread leaves the last
+                    # message in the mailbox; re-processing it would run the
+                    # tracker many steps per real frame.
+                    if msg is not None and msg[0] <= last_orig:
+                        msg = None
                     if not self.running:
                         return
                 (orig_framenum, frame, t_frame, dt_cap) = msg
+                last_orig = orig_framenum
                 if self.everyframe:
                     box.set_message(None)
                 if frame is None:
-                    self.final_frame = self.frame_count
+                    self.capture_eof = True
                     break
                 if self.args.camera_flip:
                     frame = cv2.flip(frame, 0)
@@ -500,6 +560,28 @@ class Pipeline:
         finally:
             if self.cap is not None:
                 self.cap.release()
+
+    async def capture_native(self, q):
+        """Offline capture via the native loader: chunks of planar I420
+        frames, no capture thread, no FreshQueue drops (offline semantics ==
+        everyframe). Runs in place of capture()."""
+        chunk = max(1, int(self.args.chunk_size))
+        count = 0
+        try:
+            await self.loop.run_in_executor(None, self.kickstart.wait)
+            while self.running:
+                frames, counts, total = await self.loop.run_in_executor(
+                    None, self.native_loader.next_chunk, chunk)
+                n = int(counts[0])
+                t_frame = time()
+                for j in range(n):
+                    count += 1
+                    await q.put((count, frames[0, j], 0.0, t_frame, time()))
+                if n < chunk or total <= 0:
+                    self.capture_eof = True
+                    break
+        finally:
+            self.native_loader.close()
 
     def _cvat_step(self, frame_rgb, framenum):
         """Split-mode step with host annotation merge between NMS and
@@ -567,21 +649,44 @@ class Pipeline:
             return results
         import jax
         skip_n = self.args.object_detector_skip_frames or 0
-        if len(frames_rgb) == 1:
-            # explicit device_put: the implicit numpy->jit transfer path is
-            # far slower over the axon tunnel
-            frame = jax.device_put(np.ascontiguousarray(frames_rgb[0]))
-            if skip_n and self._skip_rem > 0 and self._prev_raw is not None:
-                # reuse previous raw detector output (deepdish.py:929-938)
-                self._skip_rem -= 1
-                self.state, out, snap = self.framestep.step_skip(
-                    self.state, frame, self._prev_raw)
-            else:
-                self.state, out, snap, raw = self.framestep.step(
-                    self.state, frame)
-                self._prev_raw = raw
-                self._skip_rem = skip_n
-            return [(out, snap)]
+        chunk = max(1, int(self.args.chunk_size))
+        if self.native_yuv:
+            # frames arrive as planar I420; full chunks convert on device
+            if len(frames_rgb) == chunk:
+                self.state, outs, snaps = self.framestep.run_chunk_yuv(
+                    self.state, jax.device_put(np.stack(frames_rgb)))
+                F = len(frames_rgb)
+                return [
+                    (tt.TrackStepOutput(*(np.asarray(x)[i] for x in outs)),
+                     type(snaps)(*(np.asarray(x)[i] for x in snaps)))
+                    for i in range(F)]
+            # partial tail: host-convert and run the single-frame program
+            frames_rgb = [cv2.cvtColor(f, cv2.COLOR_YUV2RGB_I420)
+                          for f in frames_rgb]
+        if len(frames_rgb) != chunk or chunk == 1:
+            # Single-frame program, looped. Besides chunk==1 this also
+            # covers partial batches (live-mode jittery arrival, EOF tail
+            # flush) so that exactly TWO compiled shapes ever exist — the
+            # chunk program and the single-frame program — instead of one
+            # per distinct batch size (remote compiles are very slow here).
+            results = []
+            for f in frames_rgb:
+                # explicit device_put: the implicit numpy->jit transfer
+                # path is far slower over the axon tunnel
+                frame = jax.device_put(np.ascontiguousarray(f))
+                if skip_n and self._skip_rem > 0 and \
+                        self._prev_raw is not None:
+                    # reuse previous raw detector output (deepdish.py:929-938)
+                    self._skip_rem -= 1
+                    self.state, out, snap = self.framestep.step_skip(
+                        self.state, frame, self._prev_raw)
+                else:
+                    self.state, out, snap, raw = self.framestep.step(
+                        self.state, frame)
+                    self._prev_raw = raw
+                    self._skip_rem = skip_n
+                results.append((out, snap))
+            return results
         self.state, outs, snaps = self.framestep.run_chunk(
             self.state, jax.device_put(np.stack(frames_rgb)))
         F = len(frames_rgb)
@@ -611,23 +716,45 @@ class Pipeline:
 
         pending = []
         while self.running:
-            item = await q_in.get()
-            if self.everyframe is not None:
-                self.everyframe.set()
-            pending.append(item)
-            while len(pending) < chunk and not q_in.empty():
-                pending.append(q_in.get_nowait())
+            item = None
+            try:
+                item = await asyncio.wait_for(q_in.get(), timeout=0.05)
+            except asyncio.TimeoutError:
+                if not self.capture_eof:
+                    continue
+                if not pending:
+                    # input drained and every frame dispatched: the
+                    # renumbered final frame number is now exact, so the
+                    # render stage can terminate after it. (Tail frames of
+                    # a partial chunk are flushed below, not dropped.)
+                    if self.final_frame is None:
+                        self.final_frame = self.frame_count
+                    break
+            if item is not None:
                 if self.everyframe is not None:
                     self.everyframe.set()
-            if len(pending) < chunk and self.final_frame is None \
-                    and chunk > 1:
-                # offline mode fills the chunk; live mode proceeds
-                if self.everyframe is not None:
+                pending.append(item)
+                while len(pending) < chunk and not q_in.empty():
+                    pending.append(q_in.get_nowait())
+                    if self.everyframe is not None:
+                        self.everyframe.set()
+                offline = (self.everyframe is not None or
+                           self.native_loader is not None)
+                if len(pending) < chunk and not self.capture_eof \
+                        and chunk > 1 and offline:
+                    # offline mode fills the chunk before dispatching; live
+                    # mode dispatches partial batches immediately (they run
+                    # the single-frame program, so no recompile thrash)
                     continue
             batch, pending = pending, []
+            if not batch:
+                continue
             t1 = time()
-            frames_rgb = [cv2.cvtColor(f[1], cv2.COLOR_BGR2RGB)
-                          for f in batch]
+            if self.native_yuv:
+                frames_rgb = [f[1] for f in batch]   # I420, device-converted
+            else:
+                frames_rgb = [cv2.cvtColor(f[1], cv2.COLOR_BGR2RGB)
+                              for f in batch]
             results = await self.loop.run_in_executor(
                 None, self._device_step, frames_rgb)
             t2 = time()
@@ -638,8 +765,11 @@ class Pipeline:
                 jax.profiler.stop_trace()
                 self._profiling = False
                 print(f'Wrote device trace to {self.args.profile_dir}')
+            need_bgr = self.native_yuv and not self.args.disable_graphics
             for (orig_framenum, frame, dt_cap, t_frame, t_q1), (out, snap) \
                     in zip(batch, results):
+                if need_bgr:
+                    frame = cv2.cvtColor(frame, cv2.COLOR_YUV2BGR_I420)
                 self.frame_count += 1
                 framenum = self.frame_count
                 elements = [FrameInfo(t_frame, framenum),
@@ -671,11 +801,18 @@ class Pipeline:
                                  time()))
 
     def _warmup(self, dummy):
+        # Warm-up compiles the device programs; the returned states are
+        # discarded so a --state-checkpoint restore is preserved.
         self.framestep.step(self.state, dummy)
         if int(self.args.chunk_size) > 1:
-            frames = np.stack([dummy] * int(self.args.chunk_size))
-            self.framestep.run_chunk(self.state, frames)
-        self.state = self.framestep.init_state()
+            if self.native_yuv:
+                h, w = dummy.shape[0], dummy.shape[1]
+                yuv = np.zeros((h * 3 // 2, w), np.uint8)
+                frames = np.stack([yuv] * int(self.args.chunk_size))
+                self.framestep.run_chunk_yuv(self.state, frames)
+            else:
+                frames = np.stack([dummy] * int(self.args.chunk_size))
+                self.framestep.run_chunk(self.state, frames)
 
     async def process_results(self, q_in, q_out):
         """Counting + element building (deepdish.py:1035-1139)."""
@@ -841,7 +978,13 @@ class Pipeline:
         """deepdish.py:1314-1345."""
         self.running = True
         self.loop = asyncio.get_event_loop()
-        cameraQueue = FreshQueue()
+        if self.native_loader is not None:
+            # offline: bounded queue, no frame drops (everyframe semantics)
+            chunk = max(1, int(self.args.chunk_size))
+            cameraQueue = asyncio.Queue(maxsize=2 * chunk)
+            self.everyframe = None
+        else:
+            cameraQueue = FreshQueue()
         k = self.args.max_queue_size
         inferQueue = asyncio.Queue(maxsize=k)
         resultQueue = asyncio.Queue(maxsize=k)
@@ -853,19 +996,20 @@ class Pipeline:
                      self.process_results(inferQueue, resultQueue)),
                  asyncio.ensure_future(self.infer(cameraQueue, inferQueue))]
 
-        box = MBox()
         self.kickstart = threading.Event()
-        ifi = self.args.interframe_interval
-        if ifi is not None:
-            self.everyframe = None
-            ifi_sec = float(ifi) / 1000.0
-        else:
-            ifi_sec = None
-        capthread = threading.Thread(
-            target=capthread_f,
-            args=(self.cap, self.kickstart, box, self.everyframe, ifi_sec,
-                  self.simcam), daemon=True)
-        capthread.start()
+        if self.native_loader is None:
+            box = MBox()
+            ifi = self.args.interframe_interval
+            if ifi is not None:
+                self.everyframe = None
+                ifi_sec = float(ifi) / 1000.0
+            else:
+                ifi_sec = None
+            capthread = threading.Thread(
+                target=capthread_f,
+                args=(self.cap, self.kickstart, box, self.everyframe,
+                      ifi_sec, self.simcam), daemon=True)
+            capthread.start()
         if self.process:
             self.process.cpu_percent()
         if self.args.streaming:
@@ -876,7 +1020,10 @@ class Pipeline:
             except OSError as e:
                 print(f'Web streaming disabled: {e}')
                 self.webserver = None
-        await self.capture(cameraQueue, box)
+        if self.native_loader is not None:
+            await self.capture_native(cameraQueue)
+        else:
+            await self.capture(cameraQueue, box)
         await render_task
         self.shutdown()
         for t in tasks:

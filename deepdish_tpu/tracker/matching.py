@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.assignment import solve_lsap
+from ..ops.onehot import (gather_1d, gather_rows, scatter_rows_unique,
+                          sort_values, stable_argsort)
 from .types import TrackerConfig, CONFIRMED, TENTATIVE
 
 
@@ -49,17 +51,20 @@ def masked_min_cost_matching(cost_full: jnp.ndarray,
     n_rows = jnp.sum(row_mask).astype(jnp.int32)
     n_cols = jnp.sum(col_mask).astype(jnp.int32)
 
+    # All gathers/scatters/sorts below are one-hot contractions
+    # (ops/onehot.py): XLA's native gather/scatter/sort lower to serialized
+    # loops on TPU (~30-50 us each), which dominated the tracker step.
     rkey = jnp.where(row_mask, row_key, _BIGKEY)
-    row_perm = jnp.argsort(rkey, stable=True)            # (T,)
+    row_perm = stable_argsort(rkey)                      # (T,)
     ckey = jnp.where(col_mask, jnp.arange(D, dtype=jnp.int32), _BIGKEY)
-    col_perm = jnp.argsort(ckey, stable=True)            # (D,)
+    col_perm = stable_argsort(ckey)                      # (D,)
 
     # Gather into the square capacity-K problem.
     rp = jnp.concatenate([row_perm, jnp.zeros((K - T,), row_perm.dtype)]) \
         if K > T else row_perm[:K]
     cp = jnp.concatenate([col_perm, jnp.zeros((K - D,), col_perm.dtype)]) \
         if K > D else col_perm[:K]
-    sub = cost_full[rp][:, cp]
+    sub = gather_rows(gather_rows(cost_full, rp).T, cp).T   # (K, K)
     # Reference clamp before solving (linear_assignment.py:57).
     sub = jnp.where(sub > max_distance, max_distance + 1e-5, sub)
     ri = jnp.arange(K, dtype=jnp.int32)
@@ -70,18 +75,20 @@ def masked_min_cost_matching(cost_full: jnp.ndarray,
 
     # Accept matches with cost <= max_distance (linear_assignment.py:70-74).
     got_col = col4row >= 0
-    sub_cost = sub[ri, jnp.clip(col4row, 0, K - 1)]
+    c4r = jnp.clip(col4row, 0, K - 1)
+    sub_cost = jnp.sum(
+        sub * (c4r[:, None] == ri[None, :]).astype(sub.dtype), axis=1)
     accept = got_col & (ri < n_rows) & (sub_cost <= max_distance)
 
-    det_idx = cp[jnp.clip(col4row, 0, K - 1)]
+    det_idx = gather_1d(cp, c4r)
 
-    matched_col = jnp.full((T,), -1, jnp.int32)
     scatter_slot = jnp.where(accept, rp, jnp.int32(T))  # T = OOB -> dropped
-    matched_col = matched_col.at[scatter_slot].set(det_idx, mode="drop")
+    matched_col = scatter_rows_unique(
+        jnp.full((T,), -1, jnp.int32), scatter_slot, det_idx)
 
-    col_matched = jnp.zeros((D,), bool)
     col_scatter = jnp.where(accept, det_idx, jnp.int32(D))
-    col_matched = col_matched.at[col_scatter].set(True, mode="drop")
+    col_matched = (col_scatter[:, None] ==
+                   jnp.arange(D, dtype=jnp.int32)[None, :]).any(0)
     return matched_col, col_matched
 
 
@@ -113,12 +120,12 @@ def matching_cascade(cfg: TrackerConfig,
     eligible_tsu = jnp.where(
         confirmed & (time_since_update <= cfg.max_age),
         time_since_update, BIG)
-    sorted_tsu = jnp.sort(eligible_tsu)
+    sorted_tsu = sort_values(eligible_tsu)
     prev = jnp.concatenate(
         [jnp.full((1,), -1, sorted_tsu.dtype), sorted_tsu[:-1]])
     distinct = jnp.where((sorted_tsu != prev) & (sorted_tsu < BIG),
                          sorted_tsu, BIG)
-    levels = jnp.sort(distinct)
+    levels = sort_values(distinct)
     n_levels = jnp.sum(levels < BIG)
 
     def cond(carry):

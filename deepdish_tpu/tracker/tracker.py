@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from ..ops import boxes as boxops
 from ..ops import kalman
 from ..ops.distance import gallery_min_cosine
+from ..ops.onehot import (gather_1d, gather_rows, scatter_rows_unique,
+                          stable_argsort)
 from .matching import iou_stage, matching_cascade
 from .types import (CONFIRMED, EMPTY, INFTY_COST, TENTATIVE, Detections,
                     TrackStepOutput, TrackTable, TrackerConfig)
@@ -76,15 +78,16 @@ def step(cfg: TrackerConfig, table: TrackTable, dets: Detections):
     mdet = jnp.clip(matched, 0, D - 1)
 
     # ---- Kalman measurement update for matched tracks ----
-    um, uc = kalman.update_v(mean, cov, det_xyah[mdet])
+    # (all det-indexed reads are one-hot contractions — see ops/onehot.py)
+    um, uc = kalman.update_v(mean, cov, gather_rows(det_xyah, mdet))
     mean = jnp.where(was_matched[:, None], um, mean)
     cov = jnp.where(was_matched[:, None, None], uc, cov)
     hits = table.hits + was_matched.astype(jnp.int32)
     tsu = jnp.where(was_matched, 0, tsu)
 
     # label vote (track.py:147-152)
-    det_label = dets.label[mdet]
-    det_conf = dets.confidence[mdet]
+    det_label = gather_1d(dets.label, mdet)
+    det_conf = gather_1d(dets.confidence, mdet)
     onehot = (jax.nn.one_hot(det_label, L, dtype=jnp.int32) *
               was_matched[:, None].astype(jnp.int32))
     label_count = table.label_count + onehot
@@ -98,7 +101,7 @@ def step(cfg: TrackerConfig, table: TrackTable, dets: Detections):
         (was_matched[:, None] &
          (jnp.arange(P, dtype=jnp.int32)[None, :] == pslot[:, None])
          )[:, :, None],
-        dets.feature[mdet][:, None, :], table.pending)
+        gather_rows(dets.feature, mdet)[:, None, :], table.pending)
     pending_count = jnp.minimum(
         table.pending_count + was_matched.astype(jnp.int32), P)
 
@@ -142,16 +145,16 @@ def step(cfg: TrackerConfig, table: TrackTable, dets: Detections):
     det_rank = jnp.cumsum(new_det.astype(jnp.int32)) - 1     # (D,)
     free = ~live
     slot_ids = jnp.arange(T, dtype=jnp.int32)
-    free_order = jnp.argsort(jnp.where(free, slot_ids, T + slot_ids),
-                             stable=True)                    # free slots first
+    free_order = stable_argsort(jnp.where(free, slot_ids, T + slot_ids))
     n_free = jnp.sum(free.astype(jnp.int32))
     can_place = new_det & (det_rank < n_free)
     # slot for each new det: free_order[rank]
     det_slot = jnp.where(can_place,
-                         free_order[jnp.clip(det_rank, 0, T - 1)], T)
+                         gather_1d(free_order,
+                                   jnp.clip(det_rank, 0, T - 1)), T)
 
     im, ic = kalman.initiate_v(det_xyah)                     # (D, 8), (D, 8, 8)
-    scat = lambda arr, upd: arr.at[det_slot].set(upd, mode="drop")
+    scat = lambda arr, upd: scatter_rows_unique(arr, det_slot, upd)
     mean = scat(mean, im)
     cov = scat(cov, ic)
     state = scat(state, jnp.full((D,), TENTATIVE, state.dtype))
@@ -174,24 +177,29 @@ def step(cfg: TrackerConfig, table: TrackTable, dets: Detections):
     next_id = table.next_id + jnp.sum(can_place.astype(jnp.int32))
 
     # ---- gallery partial_fit for confirmed tracks (tracker.py:83-93) ----
+    # One-hot formulation of the per-feature ring append: feature k of slot
+    # t lands at ring position (gallery_count[t] + k) % G when k < flush_n.
+    # Positions within one flush are distinct because P <= G, so a single
+    # masked select reproduces the reference's sequential appends exactly
+    # (and avoids P serialized TPU scatters).
     G = cfg.gallery_size
+    assert P <= G, "pending_size must not exceed gallery_size"
     gallery = table.gallery
     confirmed_now = state == CONFIRMED
     flush_n = jnp.where(confirmed_now, pending_count, 0)
 
-    def flush_k(k, carry):
-        gallery, gallery_count = carry
-        do = k < flush_n                                     # (T,)
-        pos = jnp.where(do, (gallery_count) % G, G)          # G = OOB
-        gallery = gallery.at[slot_ids, pos].set(
-            jnp.where(do[:, None], pending[:, k, :],
-                      jnp.zeros((T, cfg.feature_dim), gallery.dtype)),
-            mode="drop")
-        gallery_count = gallery_count + do.astype(jnp.int32)
-        return gallery, gallery_count
-
-    gallery, gallery_count = jax.lax.fori_loop(
-        0, P, flush_k, (gallery, gallery_count))
+    ks = jnp.arange(P, dtype=jnp.int32)
+    pos = (gallery_count[:, None] + ks[None, :]) % G          # (T, P)
+    do = ks[None, :] < flush_n[:, None]                       # (T, P)
+    oh = ((pos[:, :, None] ==
+           jnp.arange(G, dtype=jnp.int32)[None, None, :]) &
+          do[:, :, None])                                     # (T, P, G)
+    # where-select (not a one-hot matmul): 0 * NaN would poison the ring
+    new_vals = jnp.where(oh[:, :, :, None], pending[:, :, None, :],
+                         0).sum(axis=1)                       # (T, G, F)
+    write_mask = oh.any(axis=1)                               # (T, G)
+    gallery = jnp.where(write_mask[:, :, None], new_vals, gallery)
+    gallery_count = gallery_count + flush_n
     pending_count = jnp.where(confirmed_now, 0, pending_count)
     # deleted slots: wipe gallery validity implicitly via gallery_count=0
 
