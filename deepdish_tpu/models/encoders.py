@@ -89,10 +89,21 @@ def make_mars_encoder(params=None, seed: int = 0,
 
 
 def create_box_encoder(model_name: str, params=None) -> EncoderSpec:
-    """Filename-substring dispatch, mirroring generate_detections.py:180-189."""
+    """Filename-substring dispatch, mirroring generate_detections.py:180-189.
+    Real MARS weights load from a frozen .pb (name-map), a .tflite
+    (structural, models/convert.py) or a native .npz."""
     name = model_name or ""
     if "dummy" in name:
         return make_dummy_encoder()
     if "constant" in name:
         return make_constant_encoder()
+    if params is None and name:
+        import os
+        if os.path.exists(name):
+            if name.endswith(".npz"):
+                from .weights import load_npz
+                params = load_npz(name)
+            elif name.endswith((".pb", ".tflite")):
+                from .convert import load_mars
+                params = load_mars(name)[0]
     return make_mars_encoder(params=params)

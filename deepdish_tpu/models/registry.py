@@ -64,11 +64,43 @@ class ScriptedDetector:
         return out
 
 
+def _load_real_weights(path: str, family: str):
+    """Convert a real weight artifact (TFLite flatbuffer, Keras .h5, or a
+    native .npz saved by models.weights.save_npz) into a flax variable tree
+    for `family`. Returns None when the path is not a loadable artifact."""
+    from . import convert as cv
+    from . import weights as w
+    if path.endswith(".npz"):
+        return w.load_npz(path)
+    if path.endswith(".tflite"):
+        if family == "yolov5":
+            return cv.load_yolov5_tflite(path)[0]
+        if family == "efficientdet":
+            return cv.load_efficientdet_tflite(path)[0]
+        if family == "ssd":
+            return cv.load_ssd_mobilenet_tflite(path)[0]
+    if path.endswith(".h5") and family == "yolov3":
+        return cv.load_yolov3_h5(path)[0]
+    return None
+
+
 def create_detector(model_name: str, wanted_labels=None, label_file=None,
                     score_threshold: float = 0.5, params=None,
                     max_outputs: int = 32, **kw):
-    """Substring dispatch like deepdish.py:482-502."""
+    """Substring dispatch like deepdish.py:482-502. When `model_name` is an
+    existing weight file (.tflite/.h5/.npz) the pre-trained weights are
+    converted on load (models/convert.py) — the TPU-native replacement for
+    the reference's interpreter-based consumption."""
     name = (model_name or "ssd_mobilenet").lower()
+    if params is None and model_name and os.path.exists(model_name):
+        family = ("yolov5" if "yolov5" in name else
+                  "yolov3" if "yolo" in name else
+                  "efficientdet" if ("efficientdet" in name
+                                     or ("tflite" in name
+                                         and "ssd" not in name
+                                         and "mobilenet" not in name)) else
+                  "ssd")
+        params = _load_real_weights(model_name, family)
     if "yolov5" in name:
         det = YOLOv5Detector(params=params, max_outputs=max_outputs,
                              score_threshold=max(score_threshold, 0.25))
