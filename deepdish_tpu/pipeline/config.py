@@ -150,6 +150,13 @@ def build_parser() -> argparse.ArgumentParser:
     add('--max-tracks', default=64, type=int, metavar='N')
     add('--max-detections', default=32, type=int, metavar='N')
     add('--gallery-size', default=128, type=int, metavar='N')
+    add('--gallery-max', default=4096, type=int, metavar='N',
+        help='auto-grow the appearance gallery (exact unbounded-gallery '
+             'parity with the reference, deepdish.py:515) up to N features '
+             'per track before ring reuse begins')
+    add('--disable-gallery-growth', default=False, action='store_true',
+        help='keep the fixed-size gallery ring (oldest features overwritten '
+             'past --gallery-size)')
     add('--encode-capacity', default=0, type=int, metavar='E',
         help='appearance-encode at most E detections per frame (0 = all; '
              'detections past E are tracked by IoU only that frame)')

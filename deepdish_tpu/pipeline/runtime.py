@@ -48,7 +48,7 @@ from .elements import (CameraCountLine, CameraImage, CountingStats,
                        TrackedPathIntersection)
 from .checkpoint import load_state, save_state
 from .framerecords import FrameRecords
-from .framestep import FrameStep, FrameStepConfig
+from .framestep import FrameStep, FrameStepConfig, PipelineState
 from ..tracker.overrides import delete_slots, force_update_slots
 from ..ops import boxes as _boxops
 from .mjpeg import MJPEGServer, StreamingInfo
@@ -639,6 +639,39 @@ class Pipeline:
                 label_conf=table.label_conf)
         return out, snap2
 
+    def _maybe_grow_gallery(self, chunk_len: int):
+        """Exact unbounded-gallery parity (reference budget=None,
+        deepdish.py:515): before any slot's ring can wrap, double the gallery
+        and rebuild the fused programs (O(log episode) recompiles). Bounded
+        by --gallery-max, past which ring reuse begins (warned once)."""
+        if self.args.disable_gallery_growth:
+            return
+        G = self.tracker_cfg.gallery_size
+        pressure = tt.gallery_pressure(self.tracker_cfg, self.state.table)
+        # a chunk can add at most chunk_len features per slot
+        if pressure + chunk_len < G:
+            return
+        if G >= self.args.gallery_max:
+            if not getattr(self, '_gallery_capped_warned', False):
+                self._gallery_capped_warned = True
+                print(f'Gallery at --gallery-max ({G}); oldest appearance '
+                      'features will be overwritten for very long-lived '
+                      'tracks (bounded divergence from the unbounded '
+                      'reference gallery).')
+            return
+        new_size = min(max(2 * G, pressure + chunk_len + 1),
+                       self.args.gallery_max)
+        self.tracker_cfg, table = tt.grow_gallery(
+            self.tracker_cfg, self.state.table, new_size)
+        self.framestep = FrameStep(
+            self.detector, self.encoder, self.tracker_cfg,
+            self.wanted_labels,
+            (self.framestep.frame_h, self.framestep.frame_w),
+            self.framestep.step_cfg)
+        self.state = PipelineState(table, self.state.bg)
+        print(f'Appearance gallery grown to {new_size} features/track '
+              '(exact unbounded-gallery parity).')
+
     def _device_step(self, frames_rgb):
         """Run the fused program; returns per-frame outputs (host numpy)."""
         if self.framerec is not None:
@@ -757,6 +790,7 @@ class Pipeline:
                               for f in batch]
             results = await self.loop.run_in_executor(
                 None, self._device_step, frames_rgb)
+            self._maybe_grow_gallery(len(frames_rgb))
             t2 = time()
             dt_each = (t2 - t1) / len(batch)
             if self._profiling and \

@@ -121,6 +121,41 @@ def create_table(cfg: TrackerConfig, dtype=jnp.float32) -> TrackTable:
     )
 
 
+def gallery_pressure(cfg: TrackerConfig, table: TrackTable) -> int:
+    """Largest per-slot appended-feature count (host int). When this reaches
+    gallery_size the ring starts overwriting and appearance costs diverge
+    from the reference's unbounded gallery (deepdish.py:515 budget=None,
+    nn_matching.py:150-154). The runtime grows the gallery before that."""
+    return int(np.asarray(table.gallery_count).max())
+
+
+def gallery_overflow(cfg: TrackerConfig, table: TrackTable) -> int:
+    """Total features overwritten by the ring across live slots (0 means the
+    bounded gallery is still exactly the reference's unbounded one)."""
+    counts = np.asarray(table.gallery_count)
+    return int(np.maximum(counts - cfg.gallery_size, 0).sum())
+
+
+def grow_gallery(cfg: TrackerConfig, table: TrackTable, new_size: int):
+    """Exact episode-unbounded gallery semantics: return (cfg', table') with
+    the gallery ring enlarged to `new_size`. MUST be called while every
+    slot's gallery_count is still <= gallery_size (before any overwrite):
+    until then the ring layout is linear, so zero-padding the gallery axis
+    preserves every stored feature at its index and min-cosine distances are
+    bit-identical. The recompile this forces is O(log episode length) times
+    per run."""
+    if new_size < cfg.gallery_size:
+        raise ValueError("gallery can only grow")
+    if gallery_pressure(cfg, table) > cfg.gallery_size:
+        raise ValueError("gallery already wrapped; growth would scramble "
+                         "ring order — grow earlier (pressure threshold)")
+    new_cfg = dataclasses.replace(cfg, gallery_size=new_size)
+    T, G, F = table.gallery.shape
+    pad = jnp.zeros((T, new_size - G, F), table.gallery.dtype)
+    return new_cfg, table._replace(
+        gallery=jnp.concatenate([table.gallery, pad], axis=1))
+
+
 def pack_detections(cfg: TrackerConfig, tlwh, confidence, label, feature,
                     dtype=np.float32) -> Detections:
     """Host helper: pad variable-length detections to capacity."""
