@@ -50,6 +50,72 @@ def make_video(path, n_frames, h, w):
     wr.release()
 
 
+def bench_multistream(n_streams: int, steps: int = 24):
+    """BASELINE.json config 5: N concurrent 720p streams on one chip, one
+    SPMD dispatch per step (vmapped fused program; the Pallas JV kernel
+    batches over streams via its custom_vmap grid rule). Reports aggregate
+    device-resident FPS. Invoked with --streams N (not the driver's
+    default single-stream metric)."""
+    import jax
+    from deepdish_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from deepdish_tpu import tracker as tt
+    from deepdish_tpu.models import create_box_encoder, create_detector
+    from deepdish_tpu.parallel import MultiStreamEngine, make_mesh
+    from deepdish_tpu.pipeline import FrameStep, FrameStepConfig
+
+    H, W = 720, 1280
+    det = create_detector("ssd_mobilenet", max_outputs=32)
+    enc = create_box_encoder("mars")
+    cfg = tt.TrackerConfig(max_tracks=64, max_detections=32,
+                           gallery_size=64, num_labels=4)
+    fs = FrameStep(det, enc, cfg, ["person", "car"], (H, W),
+                   FrameStepConfig(encode_capacity=8))
+    eng = MultiStreamEngine(fs, n_streams=n_streams, mesh=make_mesh(1))
+    states = eng.init_states()
+
+    rng = np.random.RandomState(0)
+    frames = np.zeros((n_streams, H, W, 3), np.uint8)
+    base = rng.randint(0, 80, size=(H, W, 3)).astype(np.uint8)
+    for s in range(n_streams):
+        f = base.copy()
+        f[200:500, (40 + s * 60) % (W - 200):][:, :160] = 230
+        frames[s] = f
+
+    # device-resident: stage the frames once (the e2e transfer story is the
+    # single-stream bench's job; here we measure aggregate compute)
+    frames_dev = jax.device_put(frames, eng._shard)
+    jax.block_until_ready(frames_dev)
+
+    t0 = time.time()
+    states, outs, snaps = eng.step(states, frames_dev)
+    jax.block_until_ready(outs.track_id)
+    compile_s = time.time() - t0
+
+    reps = 8
+    times = []
+    for _ in range(max(1, steps // reps)):
+        t0 = time.time()
+        for _ in range(reps):
+            states, outs, snaps = eng.step(states, frames_dev)
+        jax.block_until_ready(outs.track_id)
+        times.append((time.time() - t0) / reps)
+    med = float(np.median(times))
+    agg = n_streams / med
+    print(json.dumps({
+        "metric": f"multi-stream aggregate 720p FPS ({n_streams} streams, "
+                  "SSD-MobileNet+MARS+DeepSORT, device-resident, 1 chip)",
+        "value": round(agg, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(agg / 1000.0, 3),
+        "per_stream_fps": round(1.0 / med, 1),
+        "lsap_impl": fs.tracker_cfg.lsap_impl,
+    }))
+    print(f"# compile={compile_s:.1f}s step_times_s="
+          f"{[round(t, 3) for t in times[:12]]} "
+          f"device={jax.devices()[0].device_kind}", file=sys.stderr)
+
+
 def main():
     import jax
     from deepdish_tpu.utils.cache import enable_compilation_cache
@@ -57,6 +123,9 @@ def main():
     from deepdish_tpu import tracker as tt
     from deepdish_tpu.models import create_box_encoder, create_detector
     from deepdish_tpu.pipeline import FrameStep, FrameStepConfig
+
+    if "--streams" in sys.argv:
+        return bench_multistream(_arg("--streams", 16))
 
     chunk = _arg("--chunk", 32)
     total_frames = _arg("--frames", 320)
@@ -150,15 +219,20 @@ def main():
     fps = chunk / med
 
     # device-resident compute throughput (excludes decode + the tunnel
-    # transfer, which on this shared pool caps fresh-data delivery)
+    # transfer, which on this shared pool caps fresh-data delivery).
+    # Pipelined timing: issue several dispatches back-to-back and block
+    # once — per-dispatch tunnel/queue latency amortizes exactly as it does
+    # in the steady-state pipeline, leaving pure device time.
     resident = jax.device_put(first)
     jax.block_until_ready(resident)
+    reps = 8
     rtimes = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.time()
-        state, outs, snaps = run(state, resident)
+        for _ in range(reps):
+            state, outs, snaps = run(state, resident)
         jax.block_until_ready(outs.track_id)
-        rtimes.append(time.time() - t0)
+        rtimes.append((time.time() - t0) / reps)
     resident_fps = chunk / float(np.median(rtimes))
 
     src = "synthetic" if loader is None else "mp4-native-decode"

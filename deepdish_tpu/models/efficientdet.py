@@ -153,10 +153,16 @@ class BiFPNLayer(nn.Module):
 class EfficientDetLite0(nn.Module):
     num_classes: int = NUM_CLASSES
     compute_dtype: Any = jnp.bfloat16
+    # normalization per the model's embedded metadata; defaults are the
+    # EfficientDet-Lite export values (tflite_object_detector.py:117-131)
+    norm_mean: tuple = (127.0,)
+    norm_std: tuple = (128.0,)
 
     @nn.compact
     def __call__(self, image):
-        x = (image.astype(self.compute_dtype) - 127.0) / 128.0
+        mean = jnp.asarray(self.norm_mean, self.compute_dtype)
+        std = jnp.asarray(self.norm_std, self.compute_dtype)
+        x = (image.astype(self.compute_dtype) - mean) / std
         feats = EfficientNetLite0(name="backbone")(x)
         p3 = _ConvBN(FPN_CH, 1, act=False, name="lat3")(feats[3])
         p4 = _ConvBN(FPN_CH, 1, act=False, name="lat4")(feats[4])
@@ -208,9 +214,12 @@ class EfficientDetLite0Detector:
 
     def __init__(self, params=None, seed: int = 0, max_outputs: int = 32,
                  top_k: int = 100, score_threshold: float = 0.5,
-                 iou_threshold: float = 0.5, compute_dtype=jnp.bfloat16):
+                 iou_threshold: float = 0.5, compute_dtype=jnp.bfloat16,
+                 norm_mean=(127.0,), norm_std=(128.0,)):
         self.width = self.height = INPUT_SIZE
-        self.net = EfficientDetLite0(compute_dtype=compute_dtype)
+        self.net = EfficientDetLite0(compute_dtype=compute_dtype,
+                                     norm_mean=tuple(norm_mean),
+                                     norm_std=tuple(norm_std))
         if params is None:
             params = self.net.init(
                 jax.random.PRNGKey(seed),

@@ -100,7 +100,12 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
                                          and "ssd" not in name
                                          and "mobilenet" not in name)) else
                   "ssd")
-        params = _load_real_weights(model_name, family)
+        try:
+            params = _load_real_weights(model_name, family)
+        except Exception as e:
+            print(f"weight conversion failed for {model_name} ({e}); "
+                  "running with random-init weights")
+            params = None
     if "yolov5" in name:
         det = YOLOv5Detector(params=params, max_outputs=max_outputs,
                              score_threshold=max(score_threshold, 0.25))
@@ -114,10 +119,25 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
         det.label_offset = 0
         return det
     if "efficientdet" in name or name.endswith(".tflite") and "ssd" not in name:
+        # metadata-driven configuration like the reference's generic TFLite
+        # detector (tools/tflite_object_detector.py:117-137): normalization
+        # mean/std and packed labels come from the flatbuffer when present
+        meta = {"mean": (127.0,), "std": (128.0,), "labels": None}
+        if model_name and os.path.exists(model_name) \
+                and model_name.endswith(".tflite"):
+            try:
+                from .tflite_meta import read_metadata
+                meta.update(read_metadata(model_name))
+            except Exception as e:
+                print(f"tflite metadata unavailable ({e}); using defaults")
         det = EfficientDetLite0Detector(params=params,
                                         max_outputs=max_outputs,
-                                        score_threshold=score_threshold)
-        det.labels = {i: n for i, n in enumerate(load_labels(label_file))}
+                                        score_threshold=score_threshold,
+                                        norm_mean=meta["mean"],
+                                        norm_std=meta["std"])
+        labels = (meta["labels"] if meta.get("labels")
+                  else load_labels(label_file))
+        det.labels = {i: n for i, n in enumerate(labels)}
         det.label_offset = 0
         return det
     if "ssd" in name or "mobilenet" in name or "edgetpu" in name:

@@ -19,11 +19,25 @@ import numpy as np
 
 
 class TFLiteHostDetector:
-    def __init__(self, model_path: str, labels: Sequence[str],
+    def __init__(self, model_path: str, labels: Sequence[str] = (),
                  wanted_labels=None, score_threshold: float = 0.5,
-                 max_results: int = 32, mean: float = 127.5,
-                 std: float = 127.5, num_threads: int = 4):
+                 max_results: int = 32, mean: float = None,
+                 std: float = None, num_threads: int = 4):
         import tensorflow as tf  # gated
+        # metadata-driven configuration (tflite_object_detector.py:117-137):
+        # mean/std from NormalizationOptions, labels from the packed
+        # associated file; explicit arguments override.
+        try:
+            from .tflite_meta import read_metadata
+            meta = read_metadata(model_path)
+        except Exception:
+            meta = {"mean": [127.5], "std": [127.5], "labels": None}
+        if mean is None:
+            mean = float(np.mean(meta["mean"]))
+        if std is None:
+            std = float(np.mean(meta["std"]))
+        if not labels and meta.get("labels"):
+            labels = meta["labels"]
         self.interp = tf.lite.Interpreter(model_path=model_path,
                                           num_threads=num_threads)
         self.interp.allocate_tensors()

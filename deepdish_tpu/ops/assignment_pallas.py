@@ -14,6 +14,18 @@ contract on the MXU. Infinity sentinels become 1e30 (inf * 0 = NaN in a
 matmul); real path costs are bounded by K * pad << 1e30 so semantics are
 unchanged.
 
+The wide-matrix orientation (n_rows > n_cols: scipy solves the transpose
+and inverts the result) is handled INSIDE the kernel — cost rows/columns
+are both read as one-hot matmuls against the same VMEM-resident matrix and
+the final inversion is a one-hot contraction — so there is no `lax.cond`
+around two pallas_calls and the kernel is safely batchable.
+
+Batching: the kernel runs on a grid over the batch axis (each grid step
+solves one matrix from its own VMEM block), and `solve_lsap_pallas` is a
+`jax.custom_batching.custom_vmap` whose batch rule dispatches to that grid
+— so `jax.vmap` (the multi-stream engine) uses the kernel instead of
+falling back to the XLA solver (VERDICT round-1 item #7).
+
 Same algorithm, arithmetic (f32) and tie-breaking as `_solve_ascending`
 (scipy-compatible; see ops/assignment.py docstring), so results are
 interchangeable — enforced by tests/test_assignment_pallas.py which runs
@@ -37,11 +49,17 @@ _BIG = 1e30  # finite "infinity": survives f32 and matmul selection
 def _kernel(sizes_ref, cost_ref, out_ref,
             u_ref, v_ref, c2r_ref, r2c_ref):
     K = cost_ref.shape[0]
-    n_rows = sizes_ref[0]
-    n_cols = sizes_ref[1]
+    b = pl.program_id(0)
+    nr_orig = sizes_ref[b, 0]
+    nc_orig = sizes_ref[b, 1]
+    # wide matrices solve the transpose (scipy semantics); reads below pick
+    # rows or columns of the same VMEM-resident cost accordingly
+    transposed = nr_orig > nc_orig
+    n_rows = jnp.minimum(nr_orig, nc_orig)
+    n_cols = jnp.maximum(nr_orig, nc_orig)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
-    enable = (n_rows <= n_cols) & (n_cols > 0)
+    enable = n_cols > 0
 
     u_ref[:] = jnp.zeros((1, K), jnp.float32)
     v_ref[:] = jnp.zeros((1, K), jnp.float32)
@@ -53,6 +71,18 @@ def _kernel(sizes_ref, cost_ref, out_ref,
         m = jnp.where(jnp.broadcast_to(indices, (K, K)) == row_iota,
                       1.0, 0.0)  # (bool -> f32 cast is unsupported)
         return jnp.dot(vec_f32, m, preferred_element_type=jnp.float32)
+
+    def cost_line(i):
+        """Row i of the effective matrix: cost[i, :] normally, cost[:, i]
+        when solving the transpose — both as one-hot contractions."""
+        oh = jnp.where(col_ids == i, 1.0, 0.0)                   # (1, K)
+        row = jax.lax.dot_general(
+            oh, cost_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # cost[i, :]
+        col = jax.lax.dot_general(
+            oh, cost_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # cost[:, i]
+        return jnp.where(transposed, col, row)
 
     def augment_row(cur_row, _):
         en = enable & (cur_row < n_rows)
@@ -83,7 +113,7 @@ def _kernel(sizes_ref, cost_ref, out_ref,
             sr = jnp.where(col_ids == i, 1, sr)
             in_rem = (sc == 0) & (col_ids < n_cols)
             ui = jnp.sum(jnp.where(col_ids == i, u, 0.0))
-            r = min_val + cost_ref[pl.ds(i, 1), :] - ui - v
+            r = min_val + cost_line(i) - ui - v
             better = in_rem & (r < spc)
             spc = jnp.where(better, r, spc)
             path = jnp.where(better, i, path)
@@ -140,18 +170,38 @@ def _kernel(sizes_ref, cost_ref, out_ref,
         return 0
 
     jax.lax.fori_loop(0, K, augment_row, 0)
-    out_ref[:] = r2c_ref[:]
+
+    # r2c is row->col of the SOLVED orientation. When transposed, solved
+    # rows are the original columns; invert with a one-hot contraction:
+    # orig[r] = c where r2c[c] == r.
+    r2c = r2c_ref[:]
+    m = jnp.where(jnp.broadcast_to(r2c, (K, K)) == row_iota, 1.0, 0.0)
+    cols_f32 = col_ids.astype(jnp.float32)
+    inv_val = jax.lax.dot_general(
+        cols_f32, m, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                     # (1, K)
+    inv_hit = jax.lax.dot_general(
+        jnp.ones((1, K), jnp.float32), m, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    inverted = jnp.where(inv_hit > 0, inv_val.astype(jnp.int32), -1)
+    out_ref[:] = jnp.where(transposed, inverted, r2c)
 
 
-def _solve_ascending_pallas(cost, n_rows, n_cols, interpret=False):
-    K = cost.shape[0]
-    sizes = jnp.stack([jnp.asarray(n_rows, jnp.int32),
-                       jnp.asarray(n_cols, jnp.int32)])
+def _solve_batched_pallas(costs, n_rows, n_cols, interpret=False):
+    """(B, K, K) costs + (B,) sizes -> (B, K) row->col assignments, one
+    grid step per matrix (whole solve in VMEM per step)."""
+    B, K, _ = costs.shape
+    sizes = jnp.stack([jnp.asarray(n_rows, jnp.int32).reshape(B),
+                       jnp.asarray(n_cols, jnp.int32).reshape(B)], axis=1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((None, K, K), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        # out is (B, 1, K) so the block's last two dims equal the array's
+        # (Mosaic tiling requirement for non-multiple-of-(8,128) blocks)
+        out_specs=pl.BlockSpec((None, 1, K), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((1, K), jnp.float32),   # u
             pltpu.VMEM((1, K), jnp.float32),   # v
@@ -161,27 +211,49 @@ def _solve_ascending_pallas(cost, n_rows, n_cols, interpret=False):
     out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((1, K), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, 1, K), jnp.int32),
         interpret=interpret,
-    )(sizes, cost.astype(jnp.float32))
-    return out[0]
+    )(sizes, costs.astype(jnp.float32))
+    return out[:, 0, :]
+
+
+def _make_solver(interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def solve(cost, n_rows, n_cols):
+        return _solve_batched_pallas(cost[None], n_rows[None],
+                                     n_cols[None], interpret)[0]
+
+    @solve.def_vmap
+    def _solve_vmap(axis_size, in_batched, cost, n_rows, n_cols):
+        cb, rb, colb = in_batched
+        if not cb:
+            cost = jnp.broadcast_to(cost[None],
+                                    (axis_size,) + cost.shape)
+        if not rb:
+            n_rows = jnp.broadcast_to(jnp.asarray(n_rows, jnp.int32),
+                                      (axis_size,))
+        if not colb:
+            n_cols = jnp.broadcast_to(jnp.asarray(n_cols, jnp.int32),
+                                      (axis_size,))
+        return _solve_batched_pallas(cost, n_rows, n_cols, interpret), True
+
+    return solve
+
+
+_SOLVER = _make_solver(False)
+_SOLVER_INTERPRET = _make_solver(True)
 
 
 def solve_lsap_pallas(cost, n_rows, n_cols, interpret=False):
     """Drop-in for ops.assignment.solve_lsap, solved inside one Pallas
-    kernel. cost: (K, K) square capacity matrix."""
-    K = cost.shape[0]
+    kernel. cost: (K, K) square capacity matrix. Safe under jax.vmap (the
+    batch rule dispatches to a grid-batched kernel)."""
     n_rows = jnp.asarray(n_rows, jnp.int32)
     n_cols = jnp.asarray(n_cols, jnp.int32)
+    solver = _SOLVER_INTERPRET if interpret else _SOLVER
+    return solver(cost, n_rows, n_cols)
 
-    def normal(_):
-        return _solve_ascending_pallas(cost, n_rows, n_cols, interpret)
 
-    def transposed(_):
-        col2row = _solve_ascending_pallas(cost.T, n_cols, n_rows, interpret)
-        out = jnp.full((K,), -1, jnp.int32)
-        cols = jnp.asarray(np.arange(K, dtype=np.int32))
-        idx = jnp.where(col2row >= 0, col2row, K)
-        return out.at[idx].set(cols, mode="drop")
-
-    return jax.lax.cond(n_rows <= n_cols, normal, transposed, None)
+def solve_lsap_pallas_batched(costs, n_rows, n_cols, interpret=False):
+    """Explicit batched entry: (B, K, K) -> (B, K)."""
+    return _solve_batched_pallas(costs, n_rows, n_cols, interpret)

@@ -37,15 +37,18 @@ class MultiStreamEngine:
 
     def __init__(self, framestep: FrameStep, n_streams: int,
                  mesh: Optional[Mesh] = None):
-        # force the XLA assignment solver: the Pallas kernel is not
-        # exercised under vmap in this environment
-        if framestep.tracker_cfg.lsap_impl != "xla":
-            import dataclasses
-            framestep.tracker_cfg = dataclasses.replace(
-                framestep.tracker_cfg, lsap_impl="xla")
         self.fs = framestep
         self.n_streams = n_streams
         self.mesh = mesh if mesh is not None else make_mesh()
+        # The Pallas JV kernel is vmap-safe (grid-batched custom_vmap rule),
+        # so single-device meshes keep it. Across devices the SPMD
+        # partitioner cannot split the opaque kernel call over the sharded
+        # stream axis, so multi-device meshes use the XLA solver.
+        if (len(self.mesh.devices.flat) > 1
+                and framestep.tracker_cfg.lsap_impl != "xla"):
+            import dataclasses
+            framestep.tracker_cfg = dataclasses.replace(
+                framestep.tracker_cfg, lsap_impl="xla")
         axis = self.mesh.axis_names[0]
         self._repl = NamedSharding(self.mesh, P())
         self._shard = NamedSharding(self.mesh, P(axis))

@@ -67,3 +67,44 @@ def test_shadow_value(rng):
     m = np.asarray(mask)
     assert (m[8:16, 8:16] == bgsub.SHADOW_VAL).mean() > 0.8
     assert (m[20:, 20:] == 0).all()
+
+
+def test_motion_ratio_decisions_match_cv2(rng):
+    """Count-parity surface with bgsub ENABLED (deepdish.py:956-961): the
+    motion-ratio accept/reject decision per candidate box must agree with
+    the decision computed from cv2's MOG2 mask. Masks may differ per pixel;
+    the gate (foreground fraction >= ratio) is what reaches the tracker."""
+    frames = _scene(rng, n_frames=44)
+    ours = bgsub.init_state(48, 64)
+    theirs = cv2.createBackgroundSubtractorMOG2()
+    ratio = 0.25
+
+    def decisions(mask, boxes):
+        fg = (np.asarray(mask) != 0).astype(np.int64)   # fg + shadow, like
+        # the pipeline's (mask != 0) integral (framestep.py:121-136)
+        integral = np.pad(fg.cumsum(0).cumsum(1), ((1, 0), (1, 0)))
+        out = []
+        for (x, y, w, h) in boxes:
+            s = (integral[y + h, x + w] - integral[y, x + w]
+                 - integral[y + h, x] + integral[y, x])
+            out.append(bool(s >= ratio * w * h))
+        return out
+
+    mismatches = 0
+    checks = 0
+    for i, f in enumerate(frames):
+        ours, m1 = bgsub.update_jit(ours, jnp.asarray(f))
+        m2 = theirs.apply(f)
+        if i < 24:        # learning phase
+            continue
+        x = 4 + (i - 20) * 2
+        boxes = [(x, 10, 12, 20),      # on the moving object -> accept
+                 (2, 34, 20, 12),      # static background -> reject
+                 (44, 34, 16, 12)]     # static background -> reject
+        d1 = decisions(m1, boxes)
+        d2 = decisions(m2, boxes)
+        checks += len(boxes)
+        mismatches += sum(a != b for a, b in zip(d1, d2))
+        # the object box must be accepted by BOTH in steady state
+        assert d1[0] and d2[0], f"frame {i}: object box rejected {d1} {d2}"
+    assert mismatches == 0, f"{mismatches}/{checks} gate decisions diverge"

@@ -12,16 +12,20 @@ import numpy as np
 
 
 def med_time(fn, *args, reps=7):
+    """Pipelined timing: issue `reps` dispatches back-to-back and block
+    once at the end, so per-dispatch tunnel/queue overhead amortizes and
+    the number approaches pure device time. Repeated 3x, median taken."""
     import jax
     out = fn(*args)            # compile
     jax.block_until_ready(jax.tree.leaves(out)[0])
-    ts = []
-    for _ in range(reps):
+    meds = []
+    for _ in range(3):
         t0 = time.time()
-        out = fn(*args)
+        for _ in range(reps):
+            out = fn(*args)
         jax.block_until_ready(jax.tree.leaves(out)[0])
-        ts.append(time.time() - t0)
-    return float(np.median(ts)), out
+        meds.append((time.time() - t0) / reps)
+    return float(np.median(meds)), out
 
 
 def main():
