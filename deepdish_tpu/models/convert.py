@@ -873,16 +873,30 @@ def load_efficientdet_tflite(model_path: str):
                           model_path)
 
 
+def import_tf_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Every tensor of a TF checkpoint as {variable_name: ndarray} — the
+    MARS training artifact (mars-small128.ckpt-68577, the input of
+    tools/freeze_model.py:189-193). Variable names match the frozen pb's
+    Const names, so the same name map converts both."""
+    import tensorflow as tf
+    reader = tf.train.load_checkpoint(path)
+    return {name: reader.get_tensor(name)
+            for name in reader.get_variable_to_shape_map()}
+
+
 def load_mars(model_path: str):
-    """MARS encoder weights from either a frozen .pb (name map) or a TFLite
-    flatbuffer (structural, BN folded)."""
+    """MARS encoder weights from a frozen .pb / TF checkpoint (name map) or
+    a TFLite flatbuffer (structural, BN folded)."""
     from .mars import INPUT_SHAPE, MarsNet
     net = MarsNet()
     example = (1,) + INPUT_SHAPE
     if model_path.endswith(".tflite"):
         return convert_tflite(net, example, model_path)
     variables, _ = trace_slots(net, example)
-    tensors = import_frozen_pb(model_path)
+    if ".ckpt" in model_path or model_path.endswith(".index"):
+        tensors = import_tf_checkpoint(model_path.replace(".index", ""))
+    else:
+        tensors = import_frozen_pb(model_path)
     return convert_mars_pb(tensors, variables)
 
 

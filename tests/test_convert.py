@@ -426,3 +426,123 @@ def test_keras_h5_roundtrip(tmp_path):
     want = model.predict(x, verbose=0)
     got = np.asarray(net.apply(variables, x))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# Format-real MARS artifact tests: a Keras mirror of the slim network,
+# exported to a REAL .tflite (BN folding + pre-activation BNs as MUL/ADD),
+# converted structurally onto MarsNet, forward parity vs Keras. Plus the
+# TF-checkpoint ingestion path (tools/freeze_model.py:189-193 artifact).
+# --------------------------------------------------------------------------
+
+def _keras_mars(tf):
+    """Keras functional mirror of freeze_model.py:88-157 (inference mode)."""
+    keras = tf.keras
+    L = keras.layers
+
+    def bn(x):
+        return L.BatchNormalization(epsilon=1e-3, scale=False)(x)
+
+    def inner(x, n, stride):
+        y = L.Conv2D(n, 3, strides=stride, padding="same",
+                     use_bias=False)(x)
+        y = bn(y)
+        y = L.ELU()(y)
+        return L.Conv2D(n, 3, padding="same", use_bias=True)(y)
+
+    def block(x, n, increase=False, first=False):
+        pre = x if first else L.ELU()(bn(x))
+        out_n = n * 2 if increase else n
+        stride = 2 if increase else 1
+        y = inner(pre, out_n, stride)
+        if increase:
+            proj = L.Conv2D(out_n, 1, strides=2, padding="same",
+                            use_bias=False)(x)
+            return L.Add()([proj, y])
+        return L.Add()([x, y])
+
+    inp = keras.Input((128, 64, 3))
+    x = L.Conv2D(32, 3, padding="same", use_bias=False)(inp)
+    x = L.ELU()(bn(x))
+    x = L.Conv2D(32, 3, padding="same", use_bias=False)(x)
+    x = L.ELU()(bn(x))
+    x = L.MaxPool2D(3, strides=2, padding="valid")(x)
+    x = block(x, 32, first=True)
+    x = block(x, 32)
+    x = block(x, 32, increase=True)
+    x = block(x, 64)
+    x = block(x, 64, increase=True)
+    x = block(x, 128)
+    x = L.Flatten()(x)
+    x = L.Dense(128, use_bias=False)(x)
+    x = L.ELU()(bn(x))
+    x = bn(x)
+    norm = L.Lambda(lambda t: t / tf.sqrt(
+        1e-8 + tf.reduce_sum(tf.square(t), axis=1, keepdims=True)),
+        output_shape=(128,))(x)
+    return keras.Model(inp, norm)
+
+
+def _randomize_keras_bn(model, seed=11):
+    r = np.random.RandomState(seed)
+    for layer in model.layers:
+        if "batch_normalization" in layer.name:
+            ws = layer.get_weights()     # [beta, moving_mean, moving_var]
+            ws[0] = r.normal(0, 0.3, ws[0].shape).astype(np.float32)
+            ws[1] = r.normal(0, 0.3, ws[1].shape).astype(np.float32)
+            ws[2] = r.uniform(0.5, 2.0, ws[2].shape).astype(np.float32)
+            layer.set_weights(ws)
+
+
+@pytest.mark.timeout(900)
+def test_mars_real_tflite_artifact(tmp_path):
+    """The reference's TFLite MARS encoder path
+    (tools/generate_detections.py:151-177), end to end on a real
+    flatbuffer: Keras slim-mirror -> tflite -> structural conversion ->
+    MarsNet forward parity."""
+    tf = _tf()
+    model = _keras_mars(tf)
+    _randomize_keras_bn(model)
+    conv = tf.lite.TFLiteConverter.from_keras_model(model)
+    blob = conv.convert()
+    path = str(tmp_path / "mars.tflite")
+    with open(path, "wb") as f:
+        f.write(blob)
+
+    from deepdish_tpu.models.convert import load_mars
+    variables, report = load_mars(path)
+    assert not report["missing"] and not report["unused_ops"]
+
+    from deepdish_tpu.models.mars import MarsNet
+    x = np.random.RandomState(6).uniform(0, 255, (2, 128, 64, 3)) \
+        .astype(np.float32)
+    want = model.predict(x, verbose=0)
+    got = np.asarray(MarsNet().apply(variables, x))
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+def test_mars_checkpoint_ingestion(tmp_path, rng):
+    """TF-checkpoint artifact path: write a checkpoint carrying the slim
+    variable names, load via load_mars, forward parity vs donor."""
+    tf = _tf()
+    from deepdish_tpu.models.mars import MarsNet
+    net = MarsNet()
+    donor, _ = cv.trace_slots(net, (2, 128, 64, 3))
+    donor = _randomize_bn(donor, rng)
+    tensors = _mars_reference_named_tensors(donor)
+
+    path = str(tmp_path / "mars-small128.ckpt-68577")
+    import tensorflow.compat.v1 as tf1
+    with tf1.Session(graph=tf1.Graph()) as s:
+        vs = {k: tf1.get_variable(k, initializer=v)
+              for k, v in tensors.items()}
+        s.run(tf1.global_variables_initializer())
+        tf1.train.Saver(vs).save(s, path)
+
+    from deepdish_tpu.models.convert import load_mars
+    variables, report = load_mars(path)
+    assert not report["missing"]
+    x = rng.uniform(0, 255, (2, 128, 64, 3)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(net.apply(variables, x)),
+                               np.asarray(net.apply(donor, x)),
+                               rtol=1e-5, atol=1e-5)
