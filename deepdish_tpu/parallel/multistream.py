@@ -40,29 +40,29 @@ class MultiStreamEngine:
         self.fs = framestep
         self.n_streams = n_streams
         self.mesh = mesh if mesh is not None else make_mesh()
-        # The Pallas JV kernel is vmap-safe (grid-batched custom_vmap rule),
-        # so single-device meshes keep it. Across devices the SPMD
-        # partitioner cannot split the opaque kernel call over the sharded
-        # stream axis, so multi-device meshes use the XLA solver.
-        if (len(self.mesh.devices.flat) > 1
-                and framestep.tracker_cfg.lsap_impl != "xla"):
-            import dataclasses
-            framestep.tracker_cfg = dataclasses.replace(
-                framestep.tracker_cfg, lsap_impl="xla")
+        n_dev = len(self.mesh.devices.flat)
+        if n_streams % n_dev:
+            raise ValueError(f"n_streams ({n_streams}) must be a multiple "
+                             f"of the mesh size ({n_dev})")
         axis = self.mesh.axis_names[0]
         self._repl = NamedSharding(self.mesh, P())
         self._shard = NamedSharding(self.mesh, P(axis))
 
+        # shard_map over the stream axis: each device runs the vmapped
+        # fused program on ITS streams only — trackers are independent, so
+        # the program is communication-free by construction, and opaque
+        # kernels (the Pallas JV solver, batched via its custom_vmap grid
+        # rule) execute locally per device instead of needing the SPMD
+        # partitioner to split them.
         def stacked_step(params, states, frames):
             return jax.vmap(
                 lambda st, fr: self.fs._step(params, st, fr)[:3]
             )(states, frames)
 
-        def shard_tree(tree):
-            return jax.tree.map(lambda _: self._shard, tree)
-
-        self._step_jit = None
-        self._stacked_step = stacked_step
+        self._step_jit = jax.jit(jax.shard_map(
+            stacked_step, mesh=self.mesh,
+            in_specs=(P(), P(axis), P(axis)),
+            out_specs=P(axis), check_vma=False))
 
     def init_tables(self):
         """Stacked (S, ...) pipeline states, sharded over the mesh."""
@@ -78,16 +78,5 @@ class MultiStreamEngine:
     def step(self, states, frames):
         """frames: (S, H, W, 3) uint8. Returns (states, outs, snaps) with
         every per-stream array sharded over the mesh."""
-        tables = states
-        if self._step_jit is None:
-            out_tree = jax.eval_shape(self._stacked_step, self.fs._params,
-                                      tables, frames)
-            self._step_jit = jax.jit(
-                self._stacked_step,
-                in_shardings=(
-                    jax.tree.map(lambda _: self._repl, self.fs._params),
-                    jax.tree.map(lambda _: self._shard, tables),
-                    self._shard),
-                out_shardings=jax.tree.map(lambda _: self._shard, out_tree))
         frames = jax.device_put(frames, self._shard)
-        return self._step_jit(self.fs._params, tables, frames)
+        return self._step_jit(self.fs._params, states, frames)

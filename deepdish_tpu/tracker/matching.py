@@ -22,11 +22,16 @@ from .types import TrackerConfig, CONFIRMED, TENTATIVE
 
 def _solve(cost, n_rows, n_cols, impl: str):
     """Dispatch between the XLA while_loop solver and the Pallas kernel
-    (3x faster on v5e; see ops/assignment_pallas.py)."""
+    (3x faster on v5e; see ops/assignment_pallas.py). "pallas_interpret"
+    runs the kernel through the Pallas interpreter — CPU tests of the
+    kernel code path (e.g. multi-device shard_map on a host mesh)."""
     if impl == "pallas" or (impl == "auto" and
                             jax.default_backend() == "tpu"):
         from ..ops.assignment_pallas import solve_lsap_pallas
         return solve_lsap_pallas(cost, n_rows, n_cols)
+    if impl == "pallas_interpret":
+        from ..ops.assignment_pallas import solve_lsap_pallas
+        return solve_lsap_pallas(cost, n_rows, n_cols, interpret=True)
     return solve_lsap(cost, n_rows, n_cols)
 
 _BIGKEY = jnp.int32(2 ** 30)

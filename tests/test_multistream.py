@@ -48,3 +48,29 @@ def test_streams_independent(engine, rng):
     for _ in range(2):
         t, out, _, _ = fs.step(t, frames[3])
     np.testing.assert_array_equal(batch_ids[3], np.asarray(out.track_id))
+
+
+def test_pallas_kernel_under_shardmap(rng):
+    """Multi-device mesh + the Pallas JV kernel: shard_map gives each
+    device a LOCAL batched kernel instance (no SPMD partitioning of the
+    opaque call needed). Runs the kernel through the interpreter on the
+    8-device CPU mesh and checks agreement with the XLA-solver engine."""
+    det = create_detector("ssd_mobilenet", max_outputs=8,
+                          score_threshold=0.3)
+    enc = create_box_encoder("dummy")
+    frames = rng.randint(0, 255, size=(16, 72, 96, 3)).astype(np.uint8)
+
+    outs = {}
+    for impl in ("xla", "pallas_interpret"):
+        cfg = tt.TrackerConfig(max_tracks=8, max_detections=4,
+                               gallery_size=8, pending_size=4, num_labels=2,
+                               max_age=5, lsap_impl=impl)
+        fs = FrameStep(det, enc, cfg, ["person"], (72, 96))
+        eng = MultiStreamEngine(fs, n_streams=16, mesh=make_mesh(8))
+        states = eng.init_states()
+        for _ in range(3):
+            states, out, snaps = eng.step(states, frames)
+        outs[impl] = (np.asarray(out.track_id), np.asarray(out.state),
+                      np.asarray(out.matched_det))
+    for a, b in zip(outs["xla"], outs["pallas_interpret"]):
+        np.testing.assert_array_equal(a, b)
