@@ -10,17 +10,21 @@ import numpy as np
 
 
 def bench(label, fn, *args, reps=9):
+    """Pipelined timing (issue reps dispatches, block once) x3, median —
+    amortizes the shared pool's per-dispatch queueing like the steady-state
+    pipeline does."""
     import jax
     out = fn(*args)
     jax.block_until_ready(jax.tree.leaves(out)[0])
-    ts = []
-    for _ in range(reps):
+    meds = []
+    for _ in range(3):
         t0 = time.time()
-        out = fn(*args)
+        for _ in range(reps):
+            out = fn(*args)
         jax.block_until_ready(jax.tree.leaves(out)[0])
-        ts.append(time.time() - t0)
-    print(f"  {label:44s} {1000 * float(np.median(ts)):8.3f} ms")
-    return float(np.median(ts))
+        meds.append((time.time() - t0) / reps)
+    print(f"  {label:44s} {1000 * float(np.median(meds)):8.3f} ms")
+    return float(np.median(meds))
 
 
 def main():
