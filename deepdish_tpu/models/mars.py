@@ -26,15 +26,19 @@ INPUT_SHAPE = (128, 64, 3)  # (H, W, C)
 class _BN(nn.Module):
     """Inference-mode batch norm (slim defaults: eps 1e-3, no scale=False —
     slim.batch_norm default center=True, scale=False)."""
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x):
         return nn.BatchNorm(use_running_average=True, epsilon=1e-3,
-                            use_scale=False, use_bias=True)(x)
+                            use_scale=False, use_bias=True,
+                            dtype=self.dtype)(x)
 
 
 class _InnerBlock(nn.Module):
     features: int
     increase_dim: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -43,12 +47,12 @@ class _InnerBlock(nn.Module):
         # slim.conv2d omits the conv bias whenever normalizer_fn is set
         # (freeze_model.py:55-59), so conv1 has no bias; conv2 (no BN) does.
         y = nn.Conv(n, (3, 3), strides=(stride, stride), padding="SAME",
-                    use_bias=False, name="conv1")(x)
-        y = _BN(name="bn1")(y)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = _BN(dtype=self.dtype, name="bn1")(y)
         y = nn.elu(y)
         # dropout(keep=0.6) is identity at inference (freeze_model.py:62)
         y = nn.Conv(n, (3, 3), strides=(1, 1), padding="SAME",
-                    name="conv2")(y)
+                    dtype=self.dtype, name="conv2")(y)
         return y
 
 
@@ -57,20 +61,21 @@ class _ResidualBlock(nn.Module):
     features: int
     increase_dim: bool = False
     is_first: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         if self.is_first:
             pre = x
         else:
-            pre = _BN(name="pre_bn")(x)
+            pre = _BN(dtype=self.dtype, name="pre_bn")(x)
             pre = nn.elu(pre)
         block = _InnerBlock(self.features, self.increase_dim,
-                            name="inner")(pre)
+                            dtype=self.dtype, name="inner")(pre)
         if self.increase_dim:
             proj = nn.Conv(self.features * 2, (1, 1), strides=(2, 2),
                            padding="SAME", use_bias=False,
-                           name="projection")(x)
+                           dtype=self.dtype, name="projection")(x)
             return proj + block
         return x + block
 
@@ -81,32 +86,38 @@ class MarsNet(nn.Module):
 
     @nn.compact
     def __call__(self, images):
-        x = images.astype(self.compute_dtype)
+        # dtype=compute_dtype on every layer keeps the MXU work in bf16
+        # (params stay f32); without it flax promotes activations back to
+        # f32 against the f32 params and the whole net silently runs f32.
+        dt = self.compute_dtype
+        x = images.astype(dt)
         # BN follows each of these convs, so slim omits their biases
         # (freeze_model.py:102-110).
         x = nn.Conv(32, (3, 3), padding="SAME", use_bias=False,
-                    name="conv1_1")(x)
-        x = _BN(name="conv1_1_bn")(x)
+                    dtype=dt, name="conv1_1")(x)
+        x = _BN(dtype=dt, name="conv1_1_bn")(x)
         x = nn.elu(x)
         x = nn.Conv(32, (3, 3), padding="SAME", use_bias=False,
-                    name="conv1_2")(x)
-        x = _BN(name="conv1_2_bn")(x)
+                    dtype=dt, name="conv1_2")(x)
+        x = _BN(dtype=dt, name="conv1_2_bn")(x)
         x = nn.elu(x)
         # slim.max_pool2d default padding is VALID (freeze_model.py:116)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
-        x = _ResidualBlock(32, is_first=True, name="conv2_1")(x)
-        x = _ResidualBlock(32, name="conv2_3")(x)
-        x = _ResidualBlock(32, increase_dim=True, name="conv3_1")(x)
-        x = _ResidualBlock(64, name="conv3_3")(x)
-        x = _ResidualBlock(64, increase_dim=True, name="conv4_1")(x)
-        x = _ResidualBlock(128, name="conv4_3")(x)
+        x = _ResidualBlock(32, is_first=True, dtype=dt, name="conv2_1")(x)
+        x = _ResidualBlock(32, dtype=dt, name="conv2_3")(x)
+        x = _ResidualBlock(32, increase_dim=True, dtype=dt,
+                           name="conv3_1")(x)
+        x = _ResidualBlock(64, dtype=dt, name="conv3_3")(x)
+        x = _ResidualBlock(64, increase_dim=True, dtype=dt,
+                           name="conv4_1")(x)
+        x = _ResidualBlock(128, dtype=dt, name="conv4_3")(x)
         x = x.reshape((x.shape[0], -1))
         # fc1 is BN-normalized in slim, so it has no bias either
         # (freeze_model.py:146-149).
-        x = nn.Dense(FEATURE_DIM, use_bias=False, name="fc1")(x)
-        x = _BN(name="fc1_bn")(x)
+        x = nn.Dense(FEATURE_DIM, use_bias=False, dtype=dt, name="fc1")(x)
+        x = _BN(dtype=dt, name="fc1_bn")(x)
         x = nn.elu(x)
-        x = _BN(name="ball")(x)
+        x = _BN(dtype=dt, name="ball")(x)
         x = x.astype(jnp.float32)
         norm = jnp.sqrt(1e-8 + jnp.sum(jnp.square(x), axis=1, keepdims=True))
         return x / norm

@@ -49,19 +49,42 @@ def load_labels(label_file: Optional[str]) -> Sequence[str]:
     return list(COCO_LABELS)
 
 
+#: name -> script registry for `create_detector("scripted:<name>")`; the
+#: test/demo seam analogous to the reference's dummy/constant encoder
+#: backends (tools/generate_detections.py:86-116,182-189).
+SCRIPTS = {}
+
+
+def register_script(name, script):
+    """Register `script(frame_rgb) -> (boxes_tlwh, label_names, scores)`
+    under `name` so `--model scripted:<name>` selects it."""
+    SCRIPTS[name] = script
+
+
 class ScriptedDetector:
     """Host-driven detector for tests/demos without weights: the caller
-    provides a function frame_index -> (boxes_tlwh, labels, scores)."""
+    provides a function frame_rgb -> (boxes_tlwh, label_names, scores),
+    the exact duck-typed contract of the reference adaptors
+    (tools/ssd_mobilenet.py:198-213). The pipeline routes these boxes
+    through the same on-device filter+NMS+crop/embed+track program the
+    real detectors feed (FrameStep.scripted_step)."""
 
-    def __init__(self, script, width=320, height=320):
+    params = None
+
+    def __init__(self, script, wanted_labels=None, width=320, height=320):
         self.script = script
         self.width, self.height = width, height
-        self.frame_index = 0
+        self.use_edgetpu = False
+        names = list(wanted_labels or ["person"])
+        self.labels = {i: n for i, n in enumerate(names)}
+        self.label_offset = 0
+        self._name_to_class = {n: i for i, n in self.labels.items()}
 
-    def detect_host(self, frame_bgr):
-        out = self.script(self.frame_index)
-        self.frame_index += 1
-        return out
+    def detect_host(self, frame_rgb):
+        """(boxes_tlwh, class_idx, scores) from the host script."""
+        boxes, names, scores = self.script(frame_rgb)
+        classes = [self._name_to_class.get(n, -1) for n in names]
+        return boxes, classes, scores
 
 
 def _load_real_weights(path: str, family: str):
@@ -92,6 +115,14 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
     converted on load (models/convert.py) — the TPU-native replacement for
     the reference's interpreter-based consumption."""
     name = (model_name or "ssd_mobilenet").lower()
+    if "scripted" in name:
+        key = name.split("scripted:", 1)[1] if "scripted:" in name else None
+        script = SCRIPTS.get(key) if key is not None else \
+            (next(iter(SCRIPTS.values())) if SCRIPTS else None)
+        if script is None:
+            raise ValueError(f"no registered script for model {model_name!r}"
+                             " (use models.registry.register_script)")
+        return ScriptedDetector(script, wanted_labels=wanted_labels)
     if params is None and model_name and os.path.exists(model_name):
         family = ("yolov5" if "yolov5" in name else
                   "yolov3" if "yolo" in name else

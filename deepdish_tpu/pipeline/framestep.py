@@ -109,6 +109,7 @@ class FrameStep:
         self._track_only_jit = jax.jit(self._track_only)
         self._detect_only_jit = jax.jit(self._detect_only)
         self._encode_track_jit = jax.jit(self._encode_track)
+        self._scripted_jit = jax.jit(self._scripted_step)
 
     # ---- device program pieces ----
 
@@ -257,6 +258,19 @@ class FrameStep:
                                  valid=valid)
         return PipelineState(table, state.bg), out, snap, dets
 
+    def _scripted_step(self, params, state: PipelineState, frame,
+                       xyxy, classes, scores, valid):
+        """Host-scripted detector path: the raw boxes come from the host
+        (ScriptedDetector.detect_host) but everything downstream — bgsub,
+        the reference's box filters, pipeline NMS, crop+embed, the tracker
+        step — is the same fused device program the real detectors feed.
+        Mirrors deepdish.py:941-1033 with detect_image scripted."""
+        bg, integral, frame = self._apply_bgsub(state.bg, frame)
+        dets, snap = self._postprocess_raw(frame, integral, xyxy, classes,
+                                           scores, valid, params)
+        table, out = tt.step(self.tracker_cfg, state.table, dets)
+        return PipelineState(table, bg), out, snap
+
     def _run_chunk(self, params, state: PipelineState, frames):
         """frames (F, H, W, 3) -> (state, stacked outputs, snaps).
 
@@ -341,6 +355,13 @@ class FrameStep:
     def run_chunk_yuv(self, state: PipelineState, yuv_frames: np.ndarray):
         """F I420 frames (F, H*3/2, W) uint8 in one dispatch."""
         return self._chunk_yuv_jit(self._params, state, yuv_frames)
+
+    def scripted_step(self, state: PipelineState, frame_rgb, xyxy,
+                      classes, scores, valid):
+        """Host-scripted detections through the fused filter+NMS+embed+
+        track program. Returns (state, out, snap)."""
+        return self._scripted_jit(self._params, state, frame_rgb, xyxy,
+                                  classes, scores, valid)
 
     def detect_only(self, state: PipelineState, frame_rgb):
         """CVAT split mode, stage 1: returns (new_bg, DetectionSnapshot)."""

@@ -681,6 +681,13 @@ class Pipeline:
                 results.append(self._cvat_step(frame, framenum))
             return results
         import jax
+        if hasattr(self.detector, "detect_host"):
+            # scripted detector (tests/demos without weights): host boxes
+            # through the fused filter+NMS+embed+track device program
+            if self.native_yuv:
+                frames_rgb = [cv2.cvtColor(f, cv2.COLOR_YUV2RGB_I420)
+                              for f in frames_rgb]
+            return [self._scripted_one(f) for f in frames_rgb]
         skip_n = self.args.object_detector_skip_frames or 0
         chunk = max(1, int(self.args.chunk_size))
         if self.native_yuv:
@@ -834,9 +841,39 @@ class Pipeline:
                 await q_out.put((framenum, frame, out, snap, elements,
                                  time()))
 
+    def _scripted_raw_cap(self):
+        return max(self.args.max_detections, 32)
+
+    def _scripted_one(self, frame_rgb):
+        """One frame via the host script + scripted_step device program."""
+        import jax
+        boxes, classes, scores = self.detector.detect_host(frame_rgb)
+        R = self._scripted_raw_cap()
+        xyxy = np.zeros((R, 4), np.float32)
+        cls = np.zeros((R,), np.int32)
+        scr = np.zeros((R,), np.float32)
+        val = np.zeros((R,), bool)
+        for i in range(min(len(boxes), R)):
+            x, y, w, h = boxes[i]
+            xyxy[i] = (x, y, x + w, y + h)
+            cls[i] = max(int(classes[i]), 0)
+            scr[i] = scores[i]
+            val[i] = classes[i] >= 0
+        self.state, out, snap = self.framestep.scripted_step(
+            self.state, jax.device_put(np.ascontiguousarray(frame_rgb)),
+            xyxy, cls, scr, val)
+        return out, snap
+
     def _warmup(self, dummy):
         # Warm-up compiles the device programs; the returned states are
         # discarded so a --state-checkpoint restore is preserved.
+        if hasattr(self.detector, "detect_host"):
+            R = self._scripted_raw_cap()
+            self.framestep.scripted_step(
+                self.state, dummy, np.zeros((R, 4), np.float32),
+                np.zeros((R,), np.int32), np.zeros((R,), np.float32),
+                np.zeros((R,), bool))
+            return
         self.framestep.step(self.state, dummy)
         if int(self.args.chunk_size) > 1:
             if self.native_yuv:
