@@ -6,16 +6,17 @@ tracks live in a `(T, 8)` mean / `(T, 8, 8)` covariance table and every step
 (initiate / predict / project / update / gating) is a single vmapped vector
 program. The 8-dim state is (x, y, a, h, vx, vy, va, vh) with dt = 1.
 
-Solves use `jax.scipy.linalg` Cholesky routines on 4x4 matrices — tiny, so
-XLA keeps them fully on-chip; numerics follow the reference's formulas
-(chi2inv95 gate, std weights 1/20 and 1/160) to allow golden-vector parity
-tests against scipy at f32 tolerance.
+The reference's per-track Cholesky solves disappear entirely: deep_sort's
+state pairs never couple across dimensions, so the innovation covariance is
+diagonal and update/gating are pure elementwise math (see _projected_var).
+Numerics follow the reference's formulas (chi2inv95 gate, std weights 1/20
+and 1/160), verified by golden-vector parity tests against scipy at f32
+tolerance.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import cho_solve, solve_triangular
 
 # 0.95 chi-square quantiles (deep_sort/kalman_filter.py:11-20).
 CHI2INV95 = {1: 3.8415, 2: 5.9915, 3: 7.8147, 4: 9.4877,
@@ -87,17 +88,34 @@ def project(mean: jnp.ndarray, covariance: jnp.ndarray):
     return hm @ mean, hm @ covariance @ hm.T + innovation_cov
 
 
+def _projected_var(mean: jnp.ndarray, covariance: jnp.ndarray):
+    """Diagonal of S = H P H^T + R, shape (4,).
+
+    The deep_sort filter's state pairs (x,vx), (y,vy), (a,va), (h,vh)
+    never couple across pairs: `initiate` produces a diagonal P, and F, Q,
+    H, R (kalman_filter.py:40-53,125-152) each act within one pair, so P
+    stays pairwise-block-diagonal forever and the innovation covariance S
+    is DIAGONAL. The reference's per-track Cholesky solves
+    (kalman_filter.py:176-180,225-227) therefore reduce to elementwise
+    division — no LAPACK custom-calls inside the per-frame tracker scan.
+    """
+    h = mean[3]
+    std = jnp.stack([
+        _STD_WEIGHT_POSITION * h, _STD_WEIGHT_POSITION * h,
+        jnp.asarray(1e-1, mean.dtype), _STD_WEIGHT_POSITION * h,
+    ])
+    return jnp.diagonal(covariance)[:4] + jnp.square(std)
+
+
 def update(mean: jnp.ndarray, covariance: jnp.ndarray,
            measurement_xyah: jnp.ndarray):
-    """Measurement correction via Cholesky. Ref kalman_filter.py:154-186."""
-    projected_mean, projected_cov = project(mean, covariance)
-    chol = jnp.linalg.cholesky(projected_cov)
-    hm = _update_mat(mean.dtype)
-    # gain = (S^-1 (P H^T)^T)^T, shape (8, 4)
-    gain = cho_solve((chol, True), (covariance @ hm.T).T).T
-    innovation = measurement_xyah - projected_mean
-    new_mean = mean + innovation @ gain.T
-    new_cov = covariance - gain @ projected_cov @ gain.T
+    """Measurement correction. Ref kalman_filter.py:154-186 (its Cholesky
+    solve collapses to a diagonal solve — see _projected_var)."""
+    s = _projected_var(mean, covariance)
+    gain = covariance[:, :4] / s[None, :]          # P H^T S^-1, (8, 4)
+    innovation = measurement_xyah - mean[:4]
+    new_mean = mean + gain @ innovation
+    new_cov = covariance - (gain * s[None, :]) @ gain.T   # P - K S K^T
     return new_mean, new_cov
 
 
@@ -106,16 +124,16 @@ def gating_distance(mean: jnp.ndarray, covariance: jnp.ndarray,
                     only_position: bool = False):
     """Squared Mahalanobis distance to N measurements -> (N,).
 
-    Ref kalman_filter.py:188-229.
+    Ref kalman_filter.py:188-229; S is diagonal (_projected_var) so the
+    triangular solve is an elementwise divide.
     """
-    pm, pc = project(mean, covariance)
+    pm = mean[:4]
+    s = _projected_var(mean, covariance)
     if only_position:
-        pm, pc = pm[:2], pc[:2, :2]
+        pm, s = pm[:2], s[:2]
         measurements_xyah = measurements_xyah[:, :2]
-    chol = jnp.linalg.cholesky(pc)
     d = measurements_xyah - pm
-    z = solve_triangular(chol, d.T, lower=True)
-    return jnp.sum(z * z, axis=0)
+    return jnp.sum(d * d / s[None, :], axis=1)
 
 
 # Table-level (vmapped) versions. Invalid slots should carry a benign state
