@@ -38,13 +38,15 @@ class _ConvBN(nn.Module):
     kernel: int = 3
     stride: int = 1
     act: bool = True
+    dtype: Any = None   # compute dtype; None promotes back to f32
 
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding="SAME",
-                    use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3)(x)
+                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+                         dtype=self.dtype)(x)
         return nn.relu6(x) if self.act else x
 
 
@@ -54,23 +56,27 @@ class _MBConvLite(nn.Module):
     expand: int
     kernel: int
     stride: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         c_in = x.shape[-1]
         y = x
         if self.expand != 1:
-            y = _ConvBN(c_in * self.expand, 1, name="expand")(y)
+            y = _ConvBN(c_in * self.expand, 1, dtype=self.dtype,
+                        name="expand")(y)
         c_mid = y.shape[-1]
         y = nn.Conv(c_mid, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding="SAME",
-                    feature_group_count=c_mid, use_bias=False, name="dw")(y)
+                    feature_group_count=c_mid, use_bias=False,
+                    dtype=self.dtype, name="dw")(y)
         y = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
-                         name="dw_bn")(y)
+                         dtype=self.dtype, name="dw_bn")(y)
         y = nn.relu6(y)
-        y = nn.Conv(self.features, (1, 1), use_bias=False, name="project")(y)
+        y = nn.Conv(self.features, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="project")(y)
         y = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
-                         name="project_bn")(y)
+                         dtype=self.dtype, name="project_bn")(y)
         if self.stride == 1 and c_in == self.features:
             y = x + y
         return y
@@ -83,14 +89,16 @@ _BLOCKS = [  # (expand, channels, repeats, stride, kernel)
 
 
 class EfficientNetLite0(nn.Module):
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x):
         feats = {}
-        x = _ConvBN(32, 3, 2, name="stem")(x)
+        x = _ConvBN(32, 3, 2, dtype=self.dtype, name="stem")(x)
         for bi, (e, c, r, s, k) in enumerate(_BLOCKS):
             for ri in range(r):
                 x = _MBConvLite(c, e, k, s if ri == 0 else 1,
-                                name=f"b{bi}_{ri}")(x)
+                                dtype=self.dtype, name=f"b{bi}_{ri}")(x)
             if bi == 2:
                 feats[3] = x   # stride 8
             elif bi == 4:
@@ -103,15 +111,17 @@ class EfficientNetLite0(nn.Module):
 class _SepConvBN(nn.Module):
     features: int
     act: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         x = nn.Conv(c, (3, 3), padding="SAME", feature_group_count=c,
-                    use_bias=False, name="dw")(x)
-        x = nn.Conv(self.features, (1, 1), use_bias=True, name="pw")(x)
+                    use_bias=False, dtype=self.dtype, name="dw")(x)
+        x = nn.Conv(self.features, (1, 1), use_bias=True,
+                    dtype=self.dtype, name="pw")(x)
         x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
-                         name="bn")(x)
+                         dtype=self.dtype, name="bn")(x)
         return nn.relu6(x) if self.act else x
 
 
@@ -130,23 +140,24 @@ class BiFPNLayer(nn.Module):
     """Sum-fusion BiFPN layer over P3..P7 (lite keeps fast-attention; sum
     fusion is weight-compatible after folding, and identical with converted
     fusion weights absorbed — documented deviation)."""
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, p):
         p3, p4, p5, p6, p7 = p
         # top-down
-        td6 = _SepConvBN(FPN_CH, name="td6")(nn.relu6(p6 + _up_to(p7, p6)))
-        td5 = _SepConvBN(FPN_CH, name="td5")(nn.relu6(p5 + _up_to(td6, p5)))
-        td4 = _SepConvBN(FPN_CH, name="td4")(nn.relu6(p4 + _up_to(td5, p4)))
-        o3 = _SepConvBN(FPN_CH, name="out3")(nn.relu6(p3 + _up_to(td4, p3)))
+        td6 = _SepConvBN(FPN_CH, dtype=self.dtype, name="td6")(nn.relu6(p6 + _up_to(p7, p6)))
+        td5 = _SepConvBN(FPN_CH, dtype=self.dtype, name="td5")(nn.relu6(p5 + _up_to(td6, p5)))
+        td4 = _SepConvBN(FPN_CH, dtype=self.dtype, name="td4")(nn.relu6(p4 + _up_to(td5, p4)))
+        o3 = _SepConvBN(FPN_CH, dtype=self.dtype, name="out3")(nn.relu6(p3 + _up_to(td4, p3)))
         # bottom-up
-        o4 = _SepConvBN(FPN_CH, name="out4")(
+        o4 = _SepConvBN(FPN_CH, dtype=self.dtype, name="out4")(
             nn.relu6(p4 + td4 + _down2(o3)))
-        o5 = _SepConvBN(FPN_CH, name="out5")(
+        o5 = _SepConvBN(FPN_CH, dtype=self.dtype, name="out5")(
             nn.relu6(p5 + td5 + _down2(o4)))
-        o6 = _SepConvBN(FPN_CH, name="out6")(
+        o6 = _SepConvBN(FPN_CH, dtype=self.dtype, name="out6")(
             nn.relu6(p6 + td6 + _down2(o5)))
-        o7 = _SepConvBN(FPN_CH, name="out7")(nn.relu6(p7 + _down2(o6)))
+        o7 = _SepConvBN(FPN_CH, dtype=self.dtype, name="out7")(nn.relu6(p7 + _down2(o6)))
         return [o3, o4, o5, o6, o7]
 
 
@@ -162,27 +173,31 @@ class EfficientDetLite0(nn.Module):
     def __call__(self, image):
         mean = jnp.asarray(self.norm_mean, self.compute_dtype)
         std = jnp.asarray(self.norm_std, self.compute_dtype)
-        x = (image.astype(self.compute_dtype) - mean) / std
-        feats = EfficientNetLite0(name="backbone")(x)
-        p3 = _ConvBN(FPN_CH, 1, act=False, name="lat3")(feats[3])
-        p4 = _ConvBN(FPN_CH, 1, act=False, name="lat4")(feats[4])
-        p5 = _ConvBN(FPN_CH, 1, act=False, name="lat5")(feats[5])
-        p6 = _down2(_ConvBN(FPN_CH, 1, act=False, name="lat6")(feats[5]))
+        dt = self.compute_dtype
+        x = (image.astype(dt) - mean) / std
+        feats = EfficientNetLite0(dtype=dt, name="backbone")(x)
+        p3 = _ConvBN(FPN_CH, 1, act=False, dtype=dt, name="lat3")(feats[3])
+        p4 = _ConvBN(FPN_CH, 1, act=False, dtype=dt, name="lat4")(feats[4])
+        p5 = _ConvBN(FPN_CH, 1, act=False, dtype=dt, name="lat5")(feats[5])
+        p6 = _down2(_ConvBN(FPN_CH, 1, act=False, dtype=dt,
+                            name="lat6")(feats[5]))
         p7 = _down2(p6)
         p = [p3, p4, p5, p6, p7]
         for i in range(FPN_REPEATS):
-            p = BiFPNLayer(name=f"bifpn{i}")(p)
+            p = BiFPNLayer(dtype=dt, name=f"bifpn{i}")(p)
         na = NUM_SCALES * len(ASPECTS)
         box_out, cls_out = [], []
         for li, f in enumerate(p):
             b, c = f, f
             for hi in range(HEAD_REPEATS):
-                b = _SepConvBN(FPN_CH, act=True, name=f"boxh{hi}_l{li}")(b)
-                c = _SepConvBN(FPN_CH, act=True, name=f"clsh{hi}_l{li}")(c)
-            b = nn.Conv(na * 4, (3, 3), padding="SAME",
+                b = _SepConvBN(FPN_CH, act=True, dtype=dt,
+                               name=f"boxh{hi}_l{li}")(b)
+                c = _SepConvBN(FPN_CH, act=True, dtype=dt,
+                               name=f"clsh{hi}_l{li}")(c)
+            b = nn.Conv(na * 4, (3, 3), padding="SAME", dtype=dt,
                         name=f"box_pred_l{li}")(b)
             c = nn.Conv(na * self.num_classes, (3, 3), padding="SAME",
-                        name=f"cls_pred_l{li}")(c)
+                        dtype=dt, name=f"cls_pred_l{li}")(c)
             box_out.append(b.reshape(-1, 4))
             cls_out.append(c.reshape(-1, self.num_classes))
         return (jnp.concatenate(box_out, 0).astype(jnp.float32),

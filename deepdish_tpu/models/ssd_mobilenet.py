@@ -36,32 +36,36 @@ class _ConvBN(nn.Module):
     features: int
     kernel: int = 3
     stride: int = 1
+    dtype: Any = None   # compute dtype; None would promote back to f32
 
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding="SAME",
-                    use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3)(x)
+                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+                         dtype=self.dtype)(x)
         return nn.relu6(x)
 
 
 class _DepthwiseSeparable(nn.Module):
     features: int
     stride: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         c_in = x.shape[-1]
         x = nn.Conv(c_in, (3, 3), strides=(self.stride, self.stride),
                     padding="SAME", feature_group_count=c_in,
-                    use_bias=False, name="dw")(x)
+                    use_bias=False, dtype=self.dtype, name="dw")(x)
         x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
-                         name="dw_bn")(x)
+                         dtype=self.dtype, name="dw_bn")(x)
         x = nn.relu6(x)
-        x = nn.Conv(self.features, (1, 1), use_bias=False, name="pw")(x)
+        x = nn.Conv(self.features, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="pw")(x)
         x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
-                         name="pw_bn")(x)
+                         dtype=self.dtype, name="pw_bn")(x)
         return nn.relu6(x)
 
 
@@ -79,26 +83,27 @@ class SSDMobileNetV1(nn.Module):
         cfg = [(64, 1), (128, 2), (128, 1), (256, 2), (256, 1), (512, 2),
                (512, 1), (512, 1), (512, 1), (512, 1), (512, 1),
                (1024, 2), (1024, 1)]
-        x = _ConvBN(32, 3, 2, name="conv0")(x)
+        dt = self.compute_dtype
+        x = _ConvBN(32, 3, 2, dtype=dt, name="conv0")(x)
         feats: List[jnp.ndarray] = []
         for i, (c, s) in enumerate(cfg):
-            x = _DepthwiseSeparable(c, s, name=f"ds{i + 1}")(x)
+            x = _DepthwiseSeparable(c, s, dtype=dt, name=f"ds{i + 1}")(x)
             if i == 10:               # conv11 output, 19x19x512
                 feats.append(x)
         feats.append(x)               # conv13 output, 10x10x1024
 
         extras = [(256, 512), (128, 256), (128, 256), (64, 128)]
         for i, (c1, c2) in enumerate(extras):
-            x = _ConvBN(c1, 1, 1, name=f"extra{i}_1x1")(x)
-            x = _ConvBN(c2, 3, 2, name=f"extra{i}_3x3")(x)
+            x = _ConvBN(c1, 1, 1, dtype=dt, name=f"extra{i}_1x1")(x)
+            x = _ConvBN(c2, 3, 2, dtype=dt, name=f"extra{i}_3x3")(x)
             feats.append(x)
 
         boxes_per_loc = [3, 6, 6, 6, 6, 6]
         box_out, cls_out = [], []
         for i, (f, a) in enumerate(zip(feats, boxes_per_loc)):
-            b = nn.Conv(a * 4, (1, 1), name=f"box_head{i}")(f)
+            b = nn.Conv(a * 4, (1, 1), dtype=dt, name=f"box_head{i}")(f)
             c = nn.Conv(a * (self.num_classes + 1), (1, 1),
-                        name=f"cls_head{i}")(f)
+                        dtype=dt, name=f"cls_head{i}")(f)
             box_out.append(b.reshape(-1, 4))
             cls_out.append(c.reshape(-1, self.num_classes + 1))
         return (jnp.concatenate(box_out, 0).astype(jnp.float32),

@@ -39,6 +39,7 @@ class ConvBN(nn.Module):
     features: int
     kernel: int = 3
     stride: int = 1
+    dtype: Any = None   # compute dtype; None promotes back to f32
 
     @nn.compact
     def __call__(self, x):
@@ -50,31 +51,35 @@ class ConvBN(nn.Module):
             padding = ((pad, pad), (pad, pad))
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding=padding,
-                    use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3)(x)
+                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+                         dtype=self.dtype)(x)
         return nn.leaky_relu(x, 0.1)
 
 
 class Residual(nn.Module):
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        y = ConvBN(self.features // 2, 1)(x)
-        y = ConvBN(self.features, 3)(y)
+        y = ConvBN(self.features // 2, 1, dtype=self.dtype)(x)
+        y = ConvBN(self.features, 3, dtype=self.dtype)(y)
         return x + y
 
 
 class Darknet53(nn.Module):
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x):
-        x = ConvBN(32, 3, name="stem")(x)
+        x = ConvBN(32, 3, dtype=self.dtype, name="stem")(x)
         feats = []
         for ci, (c, n) in enumerate([(64, 1), (128, 2), (256, 8),
                                      (512, 8), (1024, 4)]):
-            x = ConvBN(c, 3, 2, name=f"down{ci}")(x)
+            x = ConvBN(c, 3, 2, dtype=self.dtype, name=f"down{ci}")(x)
             for ri in range(n):
-                x = Residual(c, name=f"res{ci}_{ri}")(x)
+                x = Residual(c, dtype=self.dtype, name=f"res{ci}_{ri}")(x)
             if ci >= 2:
                 feats.append(x)   # strides 8, 16, 32
         return feats  # [s8, s16, s32]
@@ -84,16 +89,18 @@ class _HeadBlock(nn.Module):
     """5 alternating convs + output conv (yolo3/model.py make_last_layers)."""
     features: int
     out_ch: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = ConvBN(self.features, 1)(x)
-        x = ConvBN(self.features * 2, 3)(x)
-        x = ConvBN(self.features, 1)(x)
-        x = ConvBN(self.features * 2, 3)(x)
-        branch = ConvBN(self.features, 1)(x)
-        y = ConvBN(self.features * 2, 3)(branch)
-        y = nn.Conv(self.out_ch, (1, 1))(y)
+        dt = self.dtype
+        x = ConvBN(self.features, 1, dtype=dt)(x)
+        x = ConvBN(self.features * 2, 3, dtype=dt)(x)
+        x = ConvBN(self.features, 1, dtype=dt)(x)
+        x = ConvBN(self.features * 2, 3, dtype=dt)(x)
+        branch = ConvBN(self.features, 1, dtype=dt)(x)
+        y = ConvBN(self.features * 2, 3, dtype=dt)(branch)
+        y = nn.Conv(self.out_ch, (1, 1), dtype=dt)(y)
         return branch, y
 
 
@@ -107,16 +114,17 @@ class YOLOv3(nn.Module):
 
     @nn.compact
     def __call__(self, image):
-        x = image.astype(self.compute_dtype) / 255.0
-        s8, s16, s32 = Darknet53(name="backbone")(x)
+        dt = self.compute_dtype
+        x = image.astype(dt) / 255.0
+        s8, s16, s32 = Darknet53(dtype=dt, name="backbone")(x)
         no = 3 * (5 + self.num_classes)
-        b5, y0 = _HeadBlock(512, no, name="head0")(s32)   # stride 32
-        x = ConvBN(256, 1, name="up0_conv")(b5)
+        b5, y0 = _HeadBlock(512, no, dtype=dt, name="head0")(s32)  # s32
+        x = ConvBN(256, 1, dtype=dt, name="up0_conv")(b5)
         x = jnp.concatenate([_up2(x), s16], axis=-1)
-        b4, y1 = _HeadBlock(256, no, name="head1")(x)     # stride 16
-        x = ConvBN(128, 1, name="up1_conv")(b4)
+        b4, y1 = _HeadBlock(256, no, dtype=dt, name="head1")(x)    # s16
+        x = ConvBN(128, 1, dtype=dt, name="up1_conv")(b4)
         x = jnp.concatenate([_up2(x), s8], axis=-1)
-        _, y2 = _HeadBlock(128, no, name="head2")(x)      # stride 8
+        _, y2 = _HeadBlock(128, no, dtype=dt, name="head2")(x)     # s8
         return [y.astype(jnp.float32) for y in (y0, y1, y2)]
 
 

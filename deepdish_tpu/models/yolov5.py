@@ -37,26 +37,29 @@ class ConvBlock(nn.Module):
     kernel: int = 1
     stride: int = 1
     padding: int = -1  # -1 = autopad (k//2); stem uses explicit 2
+    dtype: Any = None   # compute dtype; None promotes back to f32
 
     @nn.compact
     def __call__(self, x):
         pad = self.kernel // 2 if self.padding < 0 else self.padding
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
-                    padding=((pad, pad), (pad, pad)), use_bias=False)(x)
+                    padding=((pad, pad), (pad, pad)), use_bias=False,
+                    dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
-                         momentum=0.97)(x)
+                         momentum=0.97, dtype=self.dtype)(x)
         return nn.silu(x)
 
 
 class Bottleneck(nn.Module):
     features: int
     shortcut: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        y = ConvBlock(self.features, 1)(x)
-        y = ConvBlock(self.features, 3)(y)
+        y = ConvBlock(self.features, 1, dtype=self.dtype)(x)
+        y = ConvBlock(self.features, 3, dtype=self.dtype)(y)
         return x + y if self.shortcut and x.shape[-1] == self.features else y
 
 
@@ -64,26 +67,28 @@ class C3(nn.Module):
     features: int
     n: int = 1
     shortcut: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         c_ = self.features // 2
-        a = ConvBlock(c_, 1)(x)
+        a = ConvBlock(c_, 1, dtype=self.dtype)(x)
         for _ in range(self.n):
-            a = Bottleneck(c_, self.shortcut)(a)
-        b = ConvBlock(c_, 1)(x)
-        return ConvBlock(self.features, 1)(
+            a = Bottleneck(c_, self.shortcut, dtype=self.dtype)(a)
+        b = ConvBlock(c_, 1, dtype=self.dtype)(x)
+        return ConvBlock(self.features, 1, dtype=self.dtype)(
             jnp.concatenate([a, b], axis=-1))
 
 
 class SPPF(nn.Module):
     features: int
     pool: int = 5
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         c_ = x.shape[-1] // 2
-        x = ConvBlock(c_, 1)(x)
+        x = ConvBlock(c_, 1, dtype=self.dtype)(x)
         p = self.pool // 2
         m1 = nn.max_pool(x, (self.pool, self.pool), strides=(1, 1),
                          padding=((p, p), (p, p)))
@@ -91,7 +96,7 @@ class SPPF(nn.Module):
                          padding=((p, p), (p, p)))
         m3 = nn.max_pool(m2, (self.pool, self.pool), strides=(1, 1),
                          padding=((p, p), (p, p)))
-        return ConvBlock(self.features, 1)(
+        return ConvBlock(self.features, 1, dtype=self.dtype)(
             jnp.concatenate([x, m1, m2, m3], axis=-1))
 
 
@@ -109,36 +114,37 @@ class YOLOv5s(nn.Module):
 
     @nn.compact
     def __call__(self, image):
-        x = image.astype(self.compute_dtype) / 255.0
+        dt = self.compute_dtype
+        x = image.astype(dt) / 255.0
         x = x[None]  # NHWC with N=1 internally
         # backbone (v5s: width 0.5, depth 0.33)
-        x = ConvBlock(32, 6, 2, padding=2, name="stem")(x)  # P1/2
-        x = ConvBlock(64, 3, 2, name="down1")(x)      # P2/4
-        x = C3(64, 1, name="c3_1")(x)
-        x = ConvBlock(128, 3, 2, name="down2")(x)     # P3/8
-        p3 = C3(128, 2, name="c3_2")(x)
-        x = ConvBlock(256, 3, 2, name="down3")(p3)    # P4/16
-        p4 = C3(256, 3, name="c3_3")(x)
-        x = ConvBlock(512, 3, 2, name="down4")(p4)    # P5/32
-        x = C3(512, 1, name="c3_4")(x)
-        p5 = SPPF(512, name="sppf")(x)
+        x = ConvBlock(32, 6, 2, padding=2, dtype=dt, name="stem")(x)  # P1/2
+        x = ConvBlock(64, 3, 2, dtype=dt, name="down1")(x)      # P2/4
+        x = C3(64, 1, dtype=dt, name="c3_1")(x)
+        x = ConvBlock(128, 3, 2, dtype=dt, name="down2")(x)     # P3/8
+        p3 = C3(128, 2, dtype=dt, name="c3_2")(x)
+        x = ConvBlock(256, 3, 2, dtype=dt, name="down3")(p3)    # P4/16
+        p4 = C3(256, 3, dtype=dt, name="c3_3")(x)
+        x = ConvBlock(512, 3, 2, dtype=dt, name="down4")(p4)    # P5/32
+        x = C3(512, 1, dtype=dt, name="c3_4")(x)
+        p5 = SPPF(512, dtype=dt, name="sppf")(x)
         # neck (PANet)
-        u5 = ConvBlock(256, 1, name="neck_cv1")(p5)
+        u5 = ConvBlock(256, 1, dtype=dt, name="neck_cv1")(p5)
         x = jnp.concatenate([_upsample2(u5), p4], axis=-1)
-        n4 = C3(256, 1, shortcut=False, name="neck_c3_1")(x)
-        u4 = ConvBlock(128, 1, name="neck_cv2")(n4)
+        n4 = C3(256, 1, shortcut=False, dtype=dt, name="neck_c3_1")(x)
+        u4 = ConvBlock(128, 1, dtype=dt, name="neck_cv2")(n4)
         x = jnp.concatenate([_upsample2(u4), p3], axis=-1)
-        o3 = C3(128, 1, shortcut=False, name="neck_c3_2")(x)   # P3 out
-        x = ConvBlock(128, 3, 2, name="neck_down1")(o3)
+        o3 = C3(128, 1, shortcut=False, dtype=dt, name="neck_c3_2")(x)   # P3 out
+        x = ConvBlock(128, 3, 2, dtype=dt, name="neck_down1")(o3)
         x = jnp.concatenate([x, u4], axis=-1)
-        o4 = C3(256, 1, shortcut=False, name="neck_c3_3")(x)   # P4 out
-        x = ConvBlock(256, 3, 2, name="neck_down2")(o4)
+        o4 = C3(256, 1, shortcut=False, dtype=dt, name="neck_c3_3")(x)   # P4 out
+        x = ConvBlock(256, 3, 2, dtype=dt, name="neck_down2")(o4)
         x = jnp.concatenate([x, u5], axis=-1)
-        o5 = C3(512, 1, shortcut=False, name="neck_c3_4")(x)   # P5 out
+        o5 = C3(512, 1, shortcut=False, dtype=dt, name="neck_c3_4")(x)   # P5 out
         no = 3 * (5 + self.num_classes)
-        h3 = nn.Conv(no, (1, 1), name="head_p3")(o3)
-        h4 = nn.Conv(no, (1, 1), name="head_p4")(o4)
-        h5 = nn.Conv(no, (1, 1), name="head_p5")(o5)
+        h3 = nn.Conv(no, (1, 1), dtype=dt, name="head_p3")(o3)
+        h4 = nn.Conv(no, (1, 1), dtype=dt, name="head_p4")(o4)
+        h5 = nn.Conv(no, (1, 1), dtype=dt, name="head_p5")(o5)
         return [h.astype(jnp.float32)[0] for h in (h3, h4, h5)]
 
 

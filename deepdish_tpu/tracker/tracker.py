@@ -191,14 +191,16 @@ def step(cfg: TrackerConfig, table: TrackTable, dets: Detections):
     ks = jnp.arange(P, dtype=jnp.int32)
     pos = (gallery_count[:, None] + ks[None, :]) % G          # (T, P)
     do = ks[None, :] < flush_n[:, None]                       # (T, P)
-    oh = ((pos[:, :, None] ==
-           jnp.arange(G, dtype=jnp.int32)[None, None, :]) &
-          do[:, :, None])                                     # (T, P, G)
-    # where-select (not a one-hot matmul): 0 * NaN would poison the ring
-    new_vals = jnp.where(oh[:, :, :, None], pending[:, :, None, :],
-                         0).sum(axis=1)                       # (T, G, F)
-    write_mask = oh.any(axis=1)                               # (T, G)
-    gallery = jnp.where(write_mask[:, :, None], new_vals, gallery)
+    # Scatter the <= T*P new rows instead of re-selecting the whole
+    # (T, G, F) gallery each frame: the ring positions within one flush
+    # are distinct (P <= G) so rows are written at most once, and masked
+    # entries are pushed out of range and dropped. The scan carry then
+    # updates in place rather than rewriting the 4 MB gallery per frame.
+    pos = jnp.where(do, pos, G)
+    t_idx = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None],
+                             (T, P))
+    gallery = gallery.at[t_idx, pos].set(pending, mode="drop",
+                                         unique_indices=True)
     gallery_count = gallery_count + flush_n
     pending_count = jnp.where(confirmed_now, 0, pending_count)
     # deleted slots: wipe gallery validity implicitly via gallery_count=0

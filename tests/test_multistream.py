@@ -50,6 +50,26 @@ def test_streams_independent(engine, rng):
     np.testing.assert_array_equal(batch_ids[3], np.asarray(out.track_id))
 
 
+def test_chunked_step_matches_per_frame(engine, rng):
+    """step_chunk (F frames per stream per dispatch — the high-throughput
+    mode) must produce the same final tracker state as stepping frame by
+    frame."""
+    F = 3
+    frames = rng.randint(0, 255, size=(16, F, 72, 96, 3)).astype(np.uint8)
+    s_chunk = engine.init_states()
+    s_chunk, outs, _ = engine.step_chunk(s_chunk, frames)
+    assert np.asarray(outs.track_id).shape == (16, F, 8)
+
+    s_seq = engine.init_states()
+    for k in range(F):
+        s_seq, out_k, _ = engine.step(s_seq, frames[:, k])
+    np.testing.assert_array_equal(np.asarray(outs.track_id)[:, -1],
+                                  np.asarray(out_k.track_id))
+    np.testing.assert_allclose(np.asarray(s_chunk.table.mean),
+                               np.asarray(s_seq.table.mean),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_pallas_kernel_under_shardmap(rng):
     """Multi-device mesh + the Pallas JV kernel: shard_map gives each
     device a LOCAL batched kernel instance (no SPMD partitioning of the
