@@ -170,6 +170,11 @@ class TFLiteConvOp:
     out_name: str           # output tensor name (for diagnostics)
     kernel: np.ndarray      # dequantized float32, TFLite layout
     bias: Optional[np.ndarray]
+    # conv-stream index of the nearest upstream weight-bearing op (-1 =
+    # fed by the graph input). Disambiguates parallel branches whose
+    # kernels share a shape: the TFLite converter emits e.g. detection
+    # heads in reverse level order, so op order alone mis-binds them.
+    depth: int = -1
 
 
 _TENSOR_NP = {0: np.float32, 1: np.float16, 2: np.int32, 3: np.uint8,
@@ -231,6 +236,21 @@ def read_tflite(model_path: str):
         if arr is not None:
             tensors[t.Name().decode()] = _dequant(t, arr)
 
+    # tensor id -> producing operator (full op list), and constant check,
+    # for walking each conv's activation input back to its upstream conv
+    producer: Dict[int, int] = {}
+    for oi in range(sg.OperatorsLength()):
+        op = sg.Operators(oi)
+        for j in range(op.OutputsLength()):
+            producer[op.Outputs(j)] = oi
+
+    def _is_const(ti):
+        if ti < 0:
+            return True
+        return model.Buffers(sg.Tensors(ti).Buffer()).DataLength() > 0
+
+    conv_stream_idx: Dict[int, int] = {}   # full op index -> conv_ops pos
+
     for oi in range(sg.OperatorsLength()):
         op = sg.Operators(oi)
         oc = model.OperatorCodes(op.OpcodeIndex())
@@ -260,6 +280,39 @@ def read_tflite(model_path: str):
                 bias = _dequant(bt, bias)
         conv_ops.append(TFLiteConvOp(kind, out_name,
                                      _dequant(kt, kern), bias))
+        conv_stream_idx[oi] = len(conv_ops) - 1
+
+    # second pass: depth of each weight-bearing op = conv-stream position
+    # of its DEEPEST weight-bearing ancestor (max over all activation
+    # inputs — a residual shortcut must not shadow the branch's convs)
+    memo: Dict[int, int] = {}
+
+    def _resolve(ti: int) -> int:
+        pi = producer.get(ti)
+        if pi is None:
+            return -1
+        if pi in conv_stream_idx:
+            return conv_stream_idx[pi]
+        if pi in memo:
+            return memo[pi]
+        memo[pi] = -1            # cycle guard
+        best = -1
+        op2 = sg.Operators(pi)
+        for j in range(op2.InputsLength()):
+            tj = op2.Inputs(j)
+            if tj >= 0 and not _is_const(tj):
+                best = max(best, _resolve(tj))
+        memo[pi] = best
+        return best
+
+    for oi, si in conv_stream_idx.items():
+        op = sg.Operators(oi)
+        best = -1
+        for j in range(op.InputsLength()):
+            tj = op.Inputs(j)
+            if tj >= 0 and not _is_const(tj):
+                best = max(best, _resolve(tj))
+        conv_ops[si].depth = best
     return conv_ops, tensors
 
 
@@ -332,18 +385,44 @@ def _write_identity_bn(params, stats, slot: Slot, beta: Optional[np.ndarray]):
               np.full(c, 1.0 - slot.bn_eps, np.float32))
 
 
+def _execution_ranks(ops: Sequence[TFLiteConvOp]) -> Dict[int, int]:
+    """For each weight-bearing op (by stream index), its EXECUTION rank
+    within the group of ops sharing its (kind, flax kernel shape).
+
+    The TFLite converter emits parallel branches in its own order — e.g.
+    SSD detection heads come out in reverse level order — so with two
+    heads sharing a kernel shape (the 256-channel levels), pure op-order
+    binding swaps their weights. Sorting each identical-shape group by
+    `depth` (the conv-stream position of the nearest upstream
+    weight-bearing op) recovers execution order; chains are unaffected
+    because their depths already increase monotonically."""
+    groups: Dict[tuple, List[int]] = {}
+    for i, op in enumerate(ops):
+        if op.kind in ("conv", "dw", "dense"):
+            key = (op.kind,
+                   tuple(_tflite_kernel_to_flax(op.kind, op.kernel).shape))
+            groups.setdefault(key, []).append(i)
+    rank: Dict[int, int] = {}
+    for idxs in groups.values():
+        by_exec = sorted(range(len(idxs)),
+                         key=lambda r: (ops[idxs[r]].depth, r))
+        for rr, r in enumerate(by_exec):
+            rank[idxs[r]] = rr
+    return rank
+
+
 def assign_slots(slots: Sequence[Slot], ops: Sequence[TFLiteConvOp],
                  variables, strict: bool = True):
     """Bind TFLite conv ops (graph order) onto flax slots (execution order).
 
-    Each op goes to the first unconsumed slot whose flax-layout kernel shape
-    matches; relative order is preserved within same-shape groups, which
-    makes the binding exact for chain-structured graphs and
-    order-consistent for parallel heads. Standalone-BN slots (kind 'bn',
-    e.g. MARS pre-activation BNs) consume a constant MUL followed by a
-    constant ADD of the same channel width — what the TFLite converter
-    lowers an unfoldable BatchNorm to. Raises on unfilled slots or
-    unconsumed ops when strict."""
+    Each weight-bearing op goes to the slot at its EXECUTION rank within
+    the ops sharing its flax-layout kernel shape (_execution_ranks) — the
+    producer-depth tie-break makes the binding exact for chain-structured
+    graphs AND for parallel heads the converter emits out of order.
+    Standalone-BN slots (kind 'bn', e.g. MARS pre-activation BNs) consume
+    a constant MUL followed by a constant ADD of the same channel width —
+    what the TFLite converter lowers an unfoldable BatchNorm to. Raises on
+    unfilled slots or unconsumed ops when strict."""
     variables = _copy_tree(variables)
     params = variables.setdefault("params", {})
     stats = variables.setdefault("batch_stats", {})
@@ -381,6 +460,14 @@ def assign_slots(slots: Sequence[Slot], ops: Sequence[TFLiteConvOp],
     unused: List[str] = []
     ignored_affine: List[str] = []
     pending_mul: Optional[TFLiteConvOp] = None
+    # slot lists per (kind, shape) + per-op execution ranks: op with
+    # execution rank r binds to the r-th slot of its shape group
+    slot_groups: Dict[tuple, List[int]] = {}
+    for si, slot in enumerate(slots):
+        if slot.kind in ("conv", "dw", "dense"):
+            slot_groups.setdefault((slot.kind, slot.kernel_shape),
+                                   []).append(si)
+    ranks = _execution_ranks(ops)
     i = 0
     while i < len(ops):
         op = ops[i]
@@ -405,8 +492,10 @@ def assign_slots(slots: Sequence[Slot], ops: Sequence[TFLiteConvOp],
             pending_mul = None
             continue
         kern = _tflite_kernel_to_flax(op.kind, op.kernel)
-        hit = _find(op.kind, tuple(kern.shape))
-        if hit is None:
+        cands = slot_groups.get((op.kind, tuple(kern.shape)), [])
+        r = ranks.get(i - 1)
+        hit = cands[r] if r is not None and r < len(cands) else None
+        if hit is None or taken[hit]:
             unused.append(f"{op.kind} {op.out_name} kernel{kern.shape}")
             continue
         slot = slots[hit]
@@ -904,3 +993,67 @@ def load_yolov3_h5(model_path: str, input_size: int = None):
     from .yolov3 import INPUT_SIZE, YOLOv3
     size = input_size or INPUT_SIZE
     return convert_keras_h5(YOLOv3(), (size, size, 3), model_path)
+
+
+# --------------------------------------------------------------------------
+# Offline conversion CLI (the analog of the reference's L8 tooling:
+# tools/freeze_model.py and the implicit TFLite-export workflows).
+# --------------------------------------------------------------------------
+
+def main(argv=None):
+    """`python -m deepdish_tpu.models.convert ARTIFACT [-o OUT.npz]`
+
+    Converts a pre-trained artifact (.tflite / .h5 / .pb / TF checkpoint)
+    into this framework's parameter tree and saves it as .npz, printing the
+    structural-assignment report. Family is inferred from the filename the
+    same way the runtime does (--family overrides)."""
+    import argparse
+    import json as _json
+
+    # conversion is pure host work; never let slot tracing touch a remote
+    # accelerator backend
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from . import weights as _w
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("artifact", help=".tflite/.h5/.pb/.ckpt weight file")
+    ap.add_argument("-o", "--out", default=None, help="output .npz path")
+    ap.add_argument("--family", default=None,
+                    choices=["ssd", "yolov5", "yolov3", "efficientdet",
+                             "mars"],
+                    help="model family (default: infer from filename)")
+    args = ap.parse_args(argv)
+
+    import os
+    name = os.path.basename(args.artifact).lower()
+    family = args.family or (
+        "yolov5" if "yolov5" in name else
+        "yolov3" if "yolo" in name else
+        "mars" if "mars" in name or name.endswith(".pb")
+        or ".ckpt" in name else
+        "efficientdet" if "efficientdet" in name else "ssd")
+
+    loaders = {
+        "ssd": load_ssd_mobilenet_tflite,
+        "yolov5": load_yolov5_tflite,
+        "efficientdet": load_efficientdet_tflite,
+        "yolov3": load_yolov3_h5,
+        "mars": load_mars,
+    }
+    variables, report = loaders[family](args.artifact)
+    print(_json.dumps({"family": family,
+                       "assigned": report.get("assigned"),
+                       "total": report.get("total"),
+                       "missing": report.get("missing", [])[:5],
+                       "unused_ops": report.get("unused_ops", [])[:5]},
+                      indent=2))
+    out = args.out or os.path.splitext(args.artifact)[0] + ".npz"
+    _w.save_npz(variables, out)
+    print(f"saved {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
