@@ -30,6 +30,9 @@ def main(argv=None):
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--score-threshold", type=float, default=0.5)
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--chunk", type=int, default=8,
+                   help="frames per stream per dispatch (the chunked scan "
+                        "is ~2x aggregate throughput vs per-frame steps)")
     p.add_argument("--device", default=None)
     args = p.parse_args(argv)
 
@@ -72,18 +75,22 @@ def main(argv=None):
     loader = NativeFrameLoader(args.inputs, W, H)
     total_frames = 0
     t0 = time.time()
+    F = max(1, args.chunk)
     try:
         while True:
-            frames, counts, got = loader.next_chunk(1)
+            frames, counts, got = loader.next_chunk(F)
             if got == 0:
                 break
-            batch = frames[:, 0]  # (S, H, W, 3)
-            states, outs, snaps = eng.step(states, batch)
-            host_outs = [tt.TrackStepOutput(
-                *(np.asarray(x)[i] for x in outs)) for i in range(S)]
-            for i, out in enumerate(host_outs):
-                if counts[i] > 0:
-                    counters[i].process(out)
+            if F == 1:
+                states, outs, snaps = eng.step(states, frames[:, 0])
+                outs_np = [np.asarray(x)[:, None] for x in outs]
+            else:
+                states, outs, snaps = eng.step_chunk(states, frames)
+                outs_np = [np.asarray(x) for x in outs]
+            for i in range(S):
+                for k in range(int(counts[i])):
+                    counters[i].process(
+                        tt.TrackStepOutput(*(x[i, k] for x in outs_np)))
             total_frames += int(got)
             if args.max_frames and total_frames >= args.max_frames * S:
                 break
