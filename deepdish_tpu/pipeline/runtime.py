@@ -847,7 +847,17 @@ class Pipeline:
     def _scripted_one(self, frame_rgb):
         """One frame via the host script + scripted_step device program."""
         import jax
-        boxes, classes, scores = self.detector.detect_host(frame_rgb)
+        skip_n = self.args.object_detector_skip_frames or 0
+        if skip_n and self._skip_rem > 0 and self._prev_raw is not None:
+            # frame-skip semantics (deepdish.py:929-938): reuse the
+            # previous host detections, re-run crop/embed+track on the
+            # current frame
+            self._skip_rem -= 1
+            boxes, classes, scores = self._prev_raw
+        else:
+            boxes, classes, scores = self.detector.detect_host(frame_rgb)
+            self._prev_raw = (boxes, classes, scores)
+            self._skip_rem = skip_n
         R = self._scripted_raw_cap()
         xyxy = np.zeros((R, 4), np.float32)
         cls = np.zeros((R,), np.int32)

@@ -194,9 +194,11 @@ def step(cfg: TrackerConfig, table: TrackTable, dets: Detections):
     # Scatter the <= T*P new rows instead of re-selecting the whole
     # (T, G, F) gallery each frame: the ring positions within one flush
     # are distinct (P <= G) so rows are written at most once, and masked
-    # entries are pushed out of range and dropped. The scan carry then
-    # updates in place rather than rewriting the 4 MB gallery per frame.
-    pos = jnp.where(do, pos, G)
+    # entries are pushed out of range and dropped. Masked rows get
+    # DISTINCT out-of-range positions (G + k) so the unique_indices
+    # promise holds even for them. The scan carry then updates in place
+    # rather than rewriting the 4 MB gallery per frame.
+    pos = jnp.where(do, pos, G + ks[None, :])
     t_idx = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None],
                              (T, P))
     gallery = gallery.at[t_idx, pos].set(pending, mode="drop",
