@@ -58,6 +58,10 @@ class Slot:
     bn_eps: float = 1e-3
     bn_has_scale: bool = True
     bn_has_bias: bool = True
+    # structural signature (bounded upstream/downstream kernel-shape trees,
+    # _SIG_HOPS deep) — compared against the flatbuffer side to bind
+    # same-shape parallel branches the converter emits out of order
+    sig: Tuple = ()
 
     def __repr__(self):
         bn = f" bn={'/'.join(self.bn_path)}" if self.bn_path else ""
@@ -134,7 +138,127 @@ def trace_slots(net, example_shape, rngs=None):
                 i += 1
         slots.append(slot)
         i += 1
+    try:
+        _annotate_slot_sigs(net, variables, example_shape, slots)
+    except Exception as e:       # pragma: no cover - diagnostics only
+        print(f"slot connectivity analysis unavailable ({e}); "
+              "falling back to order-based binding")
     return variables, slots
+
+
+def _annotate_slot_sigs(net, variables, example_shape, slots):
+    """Fill Slot.sig from the jaxpr of net.apply: find each slot's
+    conv/dot equation (by tracing the kernel operand back to its parameter
+    leaf), derive immediate weight-op adjacency through the dataflow
+    graph, and build the same bounded shape-tree signatures read_tflite
+    computes on the flatbuffer side."""
+    import jax
+    import jax.numpy as jnp
+
+    conv_slots = [i for i, s in enumerate(slots) if s.kind != "bn"]
+    path_to_node = {"params/" + "/".join(slots[i].path) + "/kernel": n
+                    for n, i in enumerate(conv_slots)}
+
+    closed = jax.make_jaxpr(lambda v, x: net.apply(v, x))(
+        variables, jnp.zeros(example_shape, jnp.float32))
+    jx = closed.jaxpr
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(variables)
+    invar_path = {}
+    for k, (kp, _leaf) in enumerate(flat):
+        name = "/".join(str(getattr(p, "key", p)) for p in kp)
+        if k < len(jx.invars):
+            invar_path[id(jx.invars[k])] = name
+
+    prod = {}
+    for e in jx.eqns:
+        for ov in e.outvars:
+            prod[id(ov)] = e
+
+    def _origin(var):
+        """Walk a value back through pass-through eqns to a param leaf."""
+        v = var
+        for _ in range(64):
+            if id(v) in invar_path:
+                return invar_path[id(v)]
+            e = prod.get(id(v))
+            if e is None:
+                return None
+            v2 = None
+            for iv in e.invars:
+                if not hasattr(iv, "val"):     # skip Literals
+                    v2 = iv
+                    break
+            if v2 is None:
+                return None
+            v = v2
+        return None
+
+    eqn_node = {}                       # id(eqn) -> node index
+    node_eqn = {}
+    for e in jx.eqns:
+        if e.primitive.name in ("conv_general_dilated", "dot_general") \
+                and len(e.invars) >= 2:
+            n = path_to_node.get(_origin(e.invars[1]))
+            if n is not None:
+                eqn_node[id(e)] = n
+                node_eqn[n] = e
+
+    if len(eqn_node) != len(conv_slots):
+        raise ValueError(
+            f"matched {len(eqn_node)} of {len(conv_slots)} conv eqns")
+
+    consumers = {}
+    for e in jx.eqns:
+        for iv in e.invars:
+            if not hasattr(iv, "val"):
+                consumers.setdefault(id(iv), []).append(e)
+
+    up_memo, down_memo = {}, {}
+
+    def _up(var):
+        e = prod.get(id(var))
+        if e is None:
+            return frozenset()
+        if id(e) in eqn_node:
+            return frozenset((eqn_node[id(e)],))
+        if id(e) in up_memo:
+            return up_memo[id(e)]
+        up_memo[id(e)] = frozenset()
+        acc = set()
+        for iv in e.invars:
+            if not hasattr(iv, "val"):
+                acc |= _up(iv)
+        up_memo[id(e)] = frozenset(acc)
+        return up_memo[id(e)]
+
+    def _down(e):
+        if id(e) in down_memo:
+            return down_memo[id(e)]
+        down_memo[id(e)] = frozenset()
+        acc = set()
+        for ov in e.outvars:
+            for ce in consumers.get(id(ov), []):
+                if id(ce) in eqn_node:
+                    acc.add(eqn_node[id(ce)])
+                else:
+                    acc |= _down(ce)
+        down_memo[id(e)] = frozenset(acc)
+        return down_memo[id(e)]
+
+    shapes, ups, downs = [], [], []
+    for n, si in enumerate(conv_slots):
+        e = node_eqn[n]
+        shapes.append(slots[si].kernel_shape)
+        acc = set()
+        for iv in e.invars:
+            if not hasattr(iv, "val"):
+                acc |= _up(iv)
+        acc.discard(n)             # the kernel walk may find ourselves
+        ups.append(tuple(sorted(acc)))
+        downs.append(tuple(sorted(_down(e) - {n})))
+    for si, sig in zip(conv_slots, _struct_sigs(shapes, ups, downs)):
+        slots[si].sig = sig
 
 
 def _flatten(tree, prefix=""):
@@ -175,6 +299,9 @@ class TFLiteConvOp:
     # kernels share a shape: the TFLite converter emits e.g. detection
     # heads in reverse level order, so op order alone mis-binds them.
     depth: int = -1
+    # structural signature (see Slot.sig) computed from the flatbuffer's
+    # dataflow graph; empty when unavailable
+    sig: Tuple = ()
 
 
 _TENSOR_NP = {0: np.float32, 1: np.float16, 2: np.int32, 3: np.uint8,
@@ -194,6 +321,42 @@ def _dequant(t, data: np.ndarray) -> np.ndarray:
         shape[axis] = scales.size
     return ((data.astype(np.float32) - zps.reshape(shape))
             * scales.reshape(shape))
+
+
+#: hops of graph context in a structural signature. 4 is enough to tell
+#: apart every ambiguous pair in the supported families (C3 cv1/cv2 by
+#: their consumers, SSD's same-shape heads by their extra-layer ancestry).
+_SIG_HOPS = 4
+
+
+def _struct_sigs(shapes, ups, downs, hops=_SIG_HOPS):
+    """Per-node structural signature over a weight-op graph.
+
+    shapes[i] is node i's flax-layout kernel shape; ups[i]/downs[i] are its
+    immediate weight-bearing neighbor indices. The signature is the pair of
+    bounded-depth shape trees (upstream, downstream) — pure shapes, so the
+    jaxpr side and the flatbuffer side of the same network produce
+    identical values, and same-shape parallel branches the TFLite
+    converter emits out of order can be re-paired structurally."""
+    umemo: Dict[tuple, tuple] = {}
+    dmemo: Dict[tuple, tuple] = {}
+
+    def utree(i, k):
+        key = (i, k)
+        if key not in umemo:
+            umemo[key] = (shapes[i],) if k == 0 else \
+                (shapes[i], tuple(sorted(utree(j, k - 1) for j in ups[i])))
+        return umemo[key]
+
+    def dtree(i, k):
+        key = (i, k)
+        if key not in dmemo:
+            dmemo[key] = (shapes[i],) if k == 0 else \
+                (shapes[i], tuple(sorted(dtree(j, k - 1)
+                                         for j in downs[i])))
+        return dmemo[key]
+
+    return [(utree(i, hops), dtree(i, hops)) for i in range(len(shapes))]
 
 
 def read_tflite(model_path: str):
@@ -282,37 +445,77 @@ def read_tflite(model_path: str):
                                      _dequant(kt, kern), bias))
         conv_stream_idx[oi] = len(conv_ops) - 1
 
-    # second pass: depth of each weight-bearing op = conv-stream position
-    # of its DEEPEST weight-bearing ancestor (max over all activation
-    # inputs — a residual shortcut must not shadow the branch's convs)
-    memo: Dict[int, int] = {}
+    # second pass over the dataflow graph: for each weight-bearing op,
+    # (a) the set of IMMEDIATE weight-bearing ancestors (walking every
+    # activation input through non-weight ops — a residual shortcut must
+    # not shadow the branch's convs), (b) immediate weight-bearing
+    # consumers, (c) depth = deepest ancestor's stream position, and
+    # (d) the structural signature built from (a)+(b).
+    up_memo: Dict[int, frozenset] = {}
 
-    def _resolve(ti: int) -> int:
+    def _up_set(ti: int) -> frozenset:
         pi = producer.get(ti)
         if pi is None:
-            return -1
+            return frozenset()
         if pi in conv_stream_idx:
-            return conv_stream_idx[pi]
-        if pi in memo:
-            return memo[pi]
-        memo[pi] = -1            # cycle guard
-        best = -1
+            return frozenset((conv_stream_idx[pi],))
+        if pi in up_memo:
+            return up_memo[pi]
+        up_memo[pi] = frozenset()    # cycle guard
+        acc = set()
         op2 = sg.Operators(pi)
         for j in range(op2.InputsLength()):
             tj = op2.Inputs(j)
             if tj >= 0 and not _is_const(tj):
-                best = max(best, _resolve(tj))
-        memo[pi] = best
-        return best
+                acc |= _up_set(tj)
+        up_memo[pi] = frozenset(acc)
+        return up_memo[pi]
 
-    for oi, si in conv_stream_idx.items():
+    consumers: Dict[int, List[int]] = {}
+    for oi in range(sg.OperatorsLength()):
         op = sg.Operators(oi)
-        best = -1
+        for j in range(op.InputsLength()):
+            ti = op.Inputs(j)
+            if ti >= 0 and not _is_const(ti):
+                consumers.setdefault(ti, []).append(oi)
+
+    down_memo: Dict[int, frozenset] = {}
+
+    def _down_set(oi: int) -> frozenset:
+        """Immediate weight-bearing consumers reachable from op oi's
+        outputs without crossing another weight-bearing op."""
+        if oi in down_memo:
+            return down_memo[oi]
+        down_memo[oi] = frozenset()  # cycle guard
+        acc = set()
+        op2 = sg.Operators(oi)
+        for j in range(op2.OutputsLength()):
+            for ci in consumers.get(op2.Outputs(j), []):
+                if ci in conv_stream_idx:
+                    acc.add(conv_stream_idx[ci])
+                else:
+                    acc |= _down_set(ci)
+        down_memo[oi] = frozenset(acc)
+        return down_memo[oi]
+
+    wb = sorted(conv_stream_idx.items())          # (full idx, stream idx)
+    stream_to_node = {si: n for n, (_, si) in enumerate(wb)}
+    shapes, ups, downs = [], [], []
+    for oi, si in wb:
+        op = sg.Operators(oi)
+        o = conv_ops[si]
+        shapes.append(tuple(_tflite_kernel_to_flax(o.kind, o.kernel).shape))
+        anc = set()
         for j in range(op.InputsLength()):
             tj = op.Inputs(j)
             if tj >= 0 and not _is_const(tj):
-                best = max(best, _resolve(tj))
-        conv_ops[si].depth = best
+                anc |= _up_set(tj)
+        o.depth = max(anc) if anc else -1
+        ups.append(tuple(sorted(stream_to_node[a] for a in anc)))
+        downs.append(tuple(sorted(stream_to_node[d]
+                                  for d in _down_set(oi))))
+    for (oi, si), sig in zip(wb, _struct_sigs(shapes, ups, downs)):
+        conv_ops[si].sig = sig
     return conv_ops, tensors
 
 
@@ -385,44 +588,64 @@ def _write_identity_bn(params, stats, slot: Slot, beta: Optional[np.ndarray]):
               np.full(c, 1.0 - slot.bn_eps, np.float32))
 
 
-def _execution_ranks(ops: Sequence[TFLiteConvOp]) -> Dict[int, int]:
-    """For each weight-bearing op (by stream index), its EXECUTION rank
-    within the group of ops sharing its (kind, flax kernel shape).
+def _bind_by_structure(slots: Sequence[Slot],
+                       ops: Sequence[TFLiteConvOp]) -> Dict[int, int]:
+    """op stream index -> slot index for every weight-bearing op.
 
-    The TFLite converter emits parallel branches in its own order — e.g.
-    SSD detection heads come out in reverse level order — so with two
-    heads sharing a kernel shape (the 256-channel levels), pure op-order
-    binding swaps their weights. Sorting each identical-shape group by
-    `depth` (the conv-stream position of the nearest upstream
-    weight-bearing op) recovers execution order; chains are unaffected
-    because their depths already increase monotonically."""
-    groups: Dict[tuple, List[int]] = {}
+    Ops and slots are grouped by (kind, flax kernel shape). Within a
+    group the TFLite converter's emission order is NOT reliable — it
+    emits parallel branches in its own order (SSD heads come out in
+    reverse level order; C3's cv1/cv2 swap inconsistently) — so both
+    sides of each group are sorted by their STRUCTURAL signatures
+    (bounded upstream/downstream shape trees; identical values on both
+    sides of a correct correspondence) and paired by rank. Members with
+    equal signatures (identical-block chains, truly symmetric branches)
+    keep their own side's order: chains are data-dependent so the
+    converter cannot reorder them, and symmetric branches are
+    structurally indistinguishable by definition. When signatures are
+    unavailable on either side, falls back to producer-depth order."""
+    slot_groups: Dict[tuple, List[int]] = {}
+    for si, slot in enumerate(slots):
+        if slot.kind in ("conv", "dw", "dense"):
+            slot_groups.setdefault((slot.kind, slot.kernel_shape),
+                                   []).append(si)
+    op_groups: Dict[tuple, List[int]] = {}
     for i, op in enumerate(ops):
         if op.kind in ("conv", "dw", "dense"):
             key = (op.kind,
                    tuple(_tflite_kernel_to_flax(op.kind, op.kernel).shape))
-            groups.setdefault(key, []).append(i)
-    rank: Dict[int, int] = {}
-    for idxs in groups.values():
-        by_exec = sorted(range(len(idxs)),
-                         key=lambda r: (ops[idxs[r]].depth, r))
-        for rr, r in enumerate(by_exec):
-            rank[idxs[r]] = rr
-    return rank
+            op_groups.setdefault(key, []).append(i)
+
+    bind: Dict[int, int] = {}
+    for key, oidxs in op_groups.items():
+        sidxs = slot_groups.get(key, [])
+        if not sidxs:
+            continue
+        if all(ops[i].sig for i in oidxs) and \
+                all(slots[si].sig for si in sidxs):
+            o_sorted = sorted(range(len(oidxs)),
+                              key=lambda r: (ops[oidxs[r]].sig, r))
+            s_sorted = sorted(range(len(sidxs)),
+                              key=lambda r: (slots[sidxs[r]].sig, r))
+        else:
+            o_sorted = sorted(range(len(oidxs)),
+                              key=lambda r: (ops[oidxs[r]].depth, r))
+            s_sorted = list(range(len(sidxs)))
+        for k in range(min(len(oidxs), len(sidxs))):
+            bind[oidxs[o_sorted[k]]] = sidxs[s_sorted[k]]
+    return bind
 
 
 def assign_slots(slots: Sequence[Slot], ops: Sequence[TFLiteConvOp],
                  variables, strict: bool = True):
     """Bind TFLite conv ops (graph order) onto flax slots (execution order).
 
-    Each weight-bearing op goes to the slot at its EXECUTION rank within
-    the ops sharing its flax-layout kernel shape (_execution_ranks) — the
-    producer-depth tie-break makes the binding exact for chain-structured
-    graphs AND for parallel heads the converter emits out of order.
-    Standalone-BN slots (kind 'bn', e.g. MARS pre-activation BNs) consume
-    a constant MUL followed by a constant ADD of the same channel width —
-    what the TFLite converter lowers an unfoldable BatchNorm to. Raises on
-    unfilled slots or unconsumed ops when strict."""
+    Weight-bearing ops bind via _bind_by_structure (kernel shape +
+    structural-signature rank, robust to the converter's branch emission
+    order). Standalone-BN slots (kind 'bn', e.g. MARS pre-activation BNs)
+    consume a constant MUL followed by a constant ADD of the same channel
+    width — what the TFLite converter lowers an unfoldable BatchNorm to.
+    Raises on unfilled slots or unconsumed ops when strict."""
     variables = _copy_tree(variables)
     params = variables.setdefault("params", {})
     stats = variables.setdefault("batch_stats", {})
@@ -460,14 +683,7 @@ def assign_slots(slots: Sequence[Slot], ops: Sequence[TFLiteConvOp],
     unused: List[str] = []
     ignored_affine: List[str] = []
     pending_mul: Optional[TFLiteConvOp] = None
-    # slot lists per (kind, shape) + per-op execution ranks: op with
-    # execution rank r binds to the r-th slot of its shape group
-    slot_groups: Dict[tuple, List[int]] = {}
-    for si, slot in enumerate(slots):
-        if slot.kind in ("conv", "dw", "dense"):
-            slot_groups.setdefault((slot.kind, slot.kernel_shape),
-                                   []).append(si)
-    ranks = _execution_ranks(ops)
+    bind = _bind_by_structure(slots, ops)
     i = 0
     while i < len(ops):
         op = ops[i]
@@ -492,9 +708,7 @@ def assign_slots(slots: Sequence[Slot], ops: Sequence[TFLiteConvOp],
             pending_mul = None
             continue
         kern = _tflite_kernel_to_flax(op.kind, op.kernel)
-        cands = slot_groups.get((op.kind, tuple(kern.shape)), [])
-        r = ranks.get(i - 1)
-        hit = cands[r] if r is not None and r < len(cands) else None
+        hit = bind.get(i - 1)
         if hit is None or taken[hit]:
             unused.append(f"{op.kind} {op.out_name} kernel{kern.shape}")
             continue
