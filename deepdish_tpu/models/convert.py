@@ -323,40 +323,49 @@ def _dequant(t, data: np.ndarray) -> np.ndarray:
             * scales.reshape(shape))
 
 
-#: hops of graph context in a structural signature. 4 is enough to tell
-#: apart every ambiguous pair in the supported families (C3 cv1/cv2 by
-#: their consumers, SSD's same-shape heads by their extra-layer ancestry).
-_SIG_HOPS = 4
-
-
-def _struct_sigs(shapes, ups, downs, hops=_SIG_HOPS):
+def _struct_sigs(shapes, ups, downs):
     """Per-node structural signature over a weight-op graph.
 
     shapes[i] is node i's flax-layout kernel shape; ups[i]/downs[i] are its
-    immediate weight-bearing neighbor indices. The signature is the pair of
-    bounded-depth shape trees (upstream, downstream) — pure shapes, so the
-    jaxpr side and the flatbuffer side of the same network produce
-    identical values, and same-shape parallel branches the TFLite
-    converter emits out of order can be re-paired structurally."""
-    umemo: Dict[tuple, tuple] = {}
-    dmemo: Dict[tuple, tuple] = {}
+    immediate weight-bearing neighbor indices. The signature is the node's
+    own shape plus its DISTANCE PROFILE: the minimum hop count to every
+    kernel shape reachable upstream and downstream. Pure shapes and
+    distances, so the jaxpr side and the flatbuffer side of the same
+    network produce identical values, and same-shape parallel branches the
+    TFLite converter emits out of order can be re-paired structurally.
+    The profile subsumes chain position (distance to the nearest
+    distinctly-shaped anchor grows along a chain of identical blocks) and
+    resolves deep symmetric towers (EfficientDet's box-vs-class towers
+    differ only via their 36- vs 810-channel prediction conv many hops
+    downstream — a bounded-depth tree would have to expand exponentially
+    to see it; a distance profile reaches it for free)."""
+    n = len(shapes)
 
-    def utree(i, k):
-        key = (i, k)
-        if key not in umemo:
-            umemo[key] = (shapes[i],) if k == 0 else \
-                (shapes[i], tuple(sorted(utree(j, k - 1) for j in ups[i])))
-        return umemo[key]
+    def profiles(neigh):
+        out = []
+        for i in range(n):
+            dist: Dict[tuple, int] = {}
+            frontier = list(neigh[i])
+            hop = 1
+            seen = set(frontier) | {i}
+            while frontier:
+                nxt = []
+                for j in frontier:
+                    s = shapes[j]
+                    if s not in dist:
+                        dist[s] = hop
+                    for k in neigh[j]:
+                        if k not in seen:
+                            seen.add(k)
+                            nxt.append(k)
+                frontier = nxt
+                hop += 1
+            out.append(tuple(sorted(dist.items())))
+        return out
 
-    def dtree(i, k):
-        key = (i, k)
-        if key not in dmemo:
-            dmemo[key] = (shapes[i],) if k == 0 else \
-                (shapes[i], tuple(sorted(dtree(j, k - 1)
-                                         for j in downs[i])))
-        return dmemo[key]
-
-    return [(utree(i, hops), dtree(i, hops)) for i in range(len(shapes))]
+    up_prof = profiles(ups)
+    down_prof = profiles(downs)
+    return [(shapes[i], up_prof[i], down_prof[i]) for i in range(n)]
 
 
 def read_tflite(model_path: str):
