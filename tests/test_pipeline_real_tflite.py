@@ -24,9 +24,10 @@ def _tf():
     return pytest.importorskip("tensorflow")
 
 
-def _make_full_ssd_tflite(tmp_path):
+def _make_full_ssd_tflite(tmp_path, quantize=False):
     """TF mirror of models/ssd_mobilenet.py SSDMobileNetV1 with random
-    weights, exported through tf.lite.TFLiteConverter (float32)."""
+    weights, exported through tf.lite.TFLiteConverter (float32, or int8
+    dynamic-range weight quantization with quantize=True)."""
     tf = _tf()
     rng = np.random.RandomState(7)
     consts = []
@@ -112,8 +113,11 @@ def _make_full_ssd_tflite(tmp_path):
     m = M()
     conv = tf.lite.TFLiteConverter.from_concrete_functions(
         [m.__call__.get_concrete_function()], m)
+    if quantize:
+        conv.optimizations = [tf.lite.Optimize.DEFAULT]
     blob = conv.convert()
-    path = str(tmp_path / "ssd_mobilenet_full.tflite")
+    path = str(tmp_path / ("ssd_mobilenet_full_q.tflite" if quantize
+                           else "ssd_mobilenet_full.tflite"))
     with open(path, "wb") as f:
         f.write(blob)
     return path
@@ -154,6 +158,28 @@ def test_full_ssd_flatbuffer_roundtrip(ssd_tflite):
                                rtol=5e-3, atol=5e-2)
     np.testing.assert_allclose(np.asarray(logits), outs[(91,)],
                                rtol=5e-3, atol=5e-2)
+
+
+@pytest.mark.timeout(900)
+def test_full_ssd_int8_weight_fidelity(ssd_tflite, tmp_path):
+    """uint8/int8 SSD flatbuffers are the reference's actual artifacts
+    (tools/ssd_mobilenet.py:100-103). Dynamic-range-quantize the SAME
+    model, ingest, and check every dequantized kernel sits within its own
+    int8 quantization step of the float flatbuffer's kernel — the sharp
+    per-channel dequantization check at full-architecture scale."""
+    qpath = _make_full_ssd_tflite(tmp_path, quantize=True)
+    variables, report = cv_mod.load_ssd_mobilenet_tflite(qpath)
+    assert report["assigned"] == report["total"]
+
+    q_ops, _ = cv_mod.read_tflite(qpath)
+    f_ops, _ = cv_mod.read_tflite(ssd_tflite)
+    q_convs = [o for o in q_ops if o.kind in ("conv", "dw")]
+    f_convs = [o for o in f_ops if o.kind in ("conv", "dw")]
+    assert len(q_convs) == len(f_convs) == 47
+    # same source graph -> same emission order in both files
+    for qo, fo in zip(q_convs, f_convs):
+        step = np.abs(fo.kernel).max() / 127.0
+        np.testing.assert_allclose(qo.kernel, fo.kernel, atol=step + 1e-6)
 
 
 @pytest.mark.timeout(900)
