@@ -181,12 +181,17 @@ def _make_efficientdet_tflite(tmp_path):
     return path
 
 
+@pytest.fixture(scope="module")
+def effdet_tflite(tmp_path_factory):
+    return _make_efficientdet_tflite(tmp_path_factory.mktemp("effdet"))
+
+
 @pytest.mark.timeout(900)
-def test_full_efficientdet_flatbuffer_roundtrip(tmp_path):
+def test_full_efficientdet_flatbuffer_roundtrip(effdet_tflite):
     import jax.numpy as jnp
     from deepdish_tpu.models.efficientdet import EfficientDetLite0
 
-    path = _make_efficientdet_tflite(tmp_path)
+    path = effdet_tflite
     variables, report = cv_mod.load_efficientdet_tflite(path)
     assert report["assigned"] == report["total"], report
     assert not report["missing"] and not report["unused_ops"], report
@@ -210,3 +215,39 @@ def test_full_efficientdet_flatbuffer_roundtrip(tmp_path):
                                rtol=5e-3, atol=2e-1)
     np.testing.assert_allclose(np.asarray(logits), outs[NC],
                                rtol=5e-3, atol=2e-1)
+
+
+@pytest.mark.timeout(900)
+def test_pipeline_cli_with_efficientdet_flatbuffer(effdet_tflite, tmp_path):
+    """tflite-demo.sh analog: `--model <efficientdet .tflite>` through the
+    actual CLI pipeline (generic-TFLite detector path, metadata-driven
+    normalization defaults), converting loudly and running to completion."""
+    import asyncio
+    import contextlib
+    import io
+    import os
+
+    import cv2
+
+    from deepdish_tpu.pipeline.main import amain
+
+    video = tmp_path / "v.mp4"
+    vw = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"), 15,
+                         (320, 240))
+    rng = np.random.RandomState(0)
+    for _ in range(8):
+        vw.write(rng.randint(0, 200, (240, 320, 3)).astype(np.uint8))
+    vw.release()
+
+    log = tmp_path / "o.log"
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        asyncio.run(amain([
+            "--input", str(video), "--model", effdet_tflite,
+            "--encoder-model", "dummy", "--disable-graphics",
+            "--disable-background-subtraction",
+            "--log", str(log), "--wanted-labels", "person"]))
+    out = buf.getvalue()
+    assert "weight conversion failed" not in out
+    assert out.count("Frame ") >= 8
+    assert os.path.exists(log)
