@@ -104,8 +104,13 @@ def trace_slots(net, example_shape, rngs=None):
     flat_stats = _flatten(variables.get("batch_stats", {}))
 
     def _owns(conv_path, bn_path):
+        # same @nn.compact body: shares the conv's parent module chain AND
+        # sits at most two levels below it (bn module [+ 'BatchNorm_0']).
+        # The depth bound keeps the empty top-level parent from vacuously
+        # claiming another module's pre-activation BN.
         parent = conv_path[:-1]
-        return bn_path[:len(parent)] == parent
+        return (bn_path[:len(parent)] == parent
+                and len(bn_path) <= len(parent) + 2)
 
     slots: List[Slot] = []
     i = 0
@@ -716,6 +721,11 @@ def assign_slots(slots: Sequence[Slot], ops: Sequence[TFLiteConvOp],
                 _write_bn_affine(slots[hit], pending_mul.kernel, op.kernel)
             pending_mul = None
             continue
+        if pending_mul is not None:
+            # a weight-bearing op between MUL and ADD means that MUL was
+            # not half of a BN remnant — never pair it across this op
+            ignored_affine.append(f"mul {pending_mul.out_name}")
+            pending_mul = None
         kern = _tflite_kernel_to_flax(op.kind, op.kernel)
         hit = bind.get(i - 1)
         if hit is None or taken[hit]:
@@ -729,14 +739,20 @@ def assign_slots(slots: Sequence[Slot], ops: Sequence[TFLiteConvOp],
         out_c = slot.kernel_shape[-1]
 
         # Some converters leave an attached BN unfolded as const MUL+ADD
-        # right after the conv; consume the pair into the slot's BN.
+        # right after the conv; consume the pair into the slot's BN (with
+        # or without a conv bias — both fold paths below handle it). A
+        # non-empty bias usually means the BN was already folded into it;
+        # then a following pair belongs to a STANDALONE BN slot (e.g.
+        # MARS fc1_bn folded + the 'ball' BN right after), so only claim
+        # it when no standalone slot of this width is still waiting.
         unfolded = None
         if (slot.bn_path is not None
-                and (bias is None or not np.any(bias))
                 and i + 1 < len(ops)
                 and ops[i].kind == "mul" and ops[i + 1].kind == "add"
                 and max(ops[i].kernel.shape[0],
-                        ops[i + 1].kernel.shape[0]) == out_c):
+                        ops[i + 1].kernel.shape[0]) == out_c
+                and (bias is None or not np.any(bias)
+                     or _find("bn", (out_c,)) is None)):
             unfolded = (ops[i].kernel, ops[i + 1].kernel)
             i += 2
 
