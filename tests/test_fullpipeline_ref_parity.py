@@ -242,3 +242,36 @@ def test_crossing_counts_match_reference_pipeline(tmp_path, monkeypatch):
     ref_kinds = kind_sequence(ref_log)
     assert len(ours_kinds) >= 3
     assert ours_kinds == ref_kinds
+
+
+@pytest.mark.timeout(600)
+def test_scripted_skip_frames(tmp_path, monkeypatch):
+    """--object-detector-skip-frames with a scripted detector: the script
+    runs on 1 of every (N+1) frames and the previous detections are reused
+    in between (deepdish.py:929-938 semantics)."""
+    video = tmp_path / "v.mp4"
+    make_video(video)
+
+    calls = []
+
+    def counting_script(frame):
+        calls.append(1)
+        return script_boxes(frame)
+
+    from deepdish_tpu.models.registry import register_script
+    from deepdish_tpu.pipeline import main as our_main
+
+    register_script("skipparity", counting_script)
+    argv = ["--input", str(video), "--model", "scripted:skipparity",
+            "--encoder-model", "constant.pb",
+            "--disable-background-subtraction", "--disable-graphics",
+            "--object-detector-skip-frames", "2",
+            "--wanted-labels", "person"]
+
+    async def run():
+        await asyncio.wait_for(our_main.amain(argv), timeout=420)
+
+    asyncio.run(run())
+    # 95 frames at skip=2 -> one real detection per 3 frames, plus the
+    # warm-up never calls the host script
+    assert len(calls) == (FRAMES + 2) // 3, len(calls)
