@@ -82,16 +82,24 @@ def build_parser() -> argparse.ArgumentParser:
     add('--line', '-L', default=None, help='counting line: x1,y1,x2,y2')
     add('--model', metavar='FILE', default='ssd_mobilenet',
         help='object detection model name or file')
+    add('--allow-random-weights', default=False, action='store_true',
+        help='if converting a --model weight file fails, run with '
+             'random-init weights instead of aborting')
     add('--disable-edgetpu', default=False, action='store_true',
         help='(TPU build: selects the CPU jax backend)')
     add('--encoder-model', metavar='FILE', default=None)
-    add('--encoder-batch-size', default=32, type=int, metavar='N')
+    add('--encoder-batch-size', default=32, type=int, metavar='N',
+        help='accepted for reference compatibility; a no-op here — the '
+             'fused device program encodes every detection of a frame in '
+             'one batch (see --encode-capacity for the real knob)')
     add('--labels', metavar='FILE', default=None)
     add('--framebuffer', default=False, action='store_true')
     add('--framebuffer-device', '-F', default='/dev/fb0', metavar='DEVICE')
     add('--framebuffer-width', default=None, metavar='WIDTH', type=int)
     add('--framebuffer-height', default=None, metavar='HEIGHT', type=int)
-    add('--color-mode', default=None, metavar='MODE')
+    add('--color-mode', default=None, metavar='MODE',
+        help='accepted for reference compatibility; dead in the reference '
+             'too (deepdish.py:750 "fixme") — has no effect')
     add('--max-cosine-distance', metavar='N', default=0.2, type=float)
     add('--nms-max-overlap', metavar='N', default=0.6, type=float)
     add('--max-iou-distance', metavar='N', default=0.7, type=float)

@@ -124,6 +124,20 @@ class FreshQueue(asyncio.Queue):
         return False
 
 
+def gstreamer_nvidia_pipeline(width: int, height: int) -> str:
+    """The nvargus camera source string the reference builds for
+    --gstreamer-nvidia (deepdish.py:698-703): NV12 capture at the camera
+    size, nvvidconv to BGRx, then BGR into an appsink that drops stale
+    frames. The string is the compatibility contract; cv2.VideoCapture
+    consumes it when OpenCV has GStreamer support."""
+    return ("nvarguscamerasrc ! video/x-raw(memory:NVMM), "
+            f"width=(int){width}, height=(int){height}, "
+            "format=(string)NV12, framerate=(fraction)30/1 ! "
+            "nvvidconv flip-method=0 ! "
+            "video/x-raw, format=(string)BGRx ! videoconvert ! "
+            "video/x-raw, format=(string)BGR ! appsink drop=true")
+
+
 class Pipeline:
     """Host orchestrator around the fused device program."""
 
@@ -142,14 +156,32 @@ class Pipeline:
         self.detector = create_detector(
             args.model, wanted_labels=self.wanted_labels,
             label_file=args.labels, score_threshold=args.score_threshold,
-            max_outputs=max(args.max_detections, 32))
+            max_outputs=max(args.max_detections, 32),
+            allow_random_weights=getattr(args, 'allow_random_weights',
+                                         False))
         enc_name = args.encoder_model or 'mars-64x32x3.pb'
         self.encoder = create_box_encoder(enc_name)
+        # Live mode (camera: frames may drop, latency is user-visible) must
+        # never rebuild the fused program mid-stream — a remote recompile
+        # stalls 20-500 s. Pre-size the gallery from --max-age instead and
+        # let the ring reuse take over past that (bounded divergence from
+        # the reference's unbounded gallery, deepdish.py:515). Offline mode
+        # (file/CVAT input) keeps exact-parity growth.
+        self._gallery_growth_ok = (self.everyframe is not None
+                                   or self.native_loader is not None)
+        gallery_size = args.gallery_size
+        if not self._gallery_growth_ok and not args.disable_gallery_growth:
+            gallery_size = min(args.gallery_max,
+                               max(gallery_size, 4 * args.max_age))
+            if gallery_size != args.gallery_size:
+                print(f'Live input: appearance gallery pre-sized to '
+                      f'{gallery_size} features/track (mid-stream growth '
+                      'recompiles are disabled in live mode).')
         self.tracker_cfg = tt.TrackerConfig(
             max_tracks=args.max_tracks,
             max_detections=args.max_detections,
             feature_dim=self.encoder.feature_dim,
-            gallery_size=args.gallery_size,
+            gallery_size=gallery_size,
             num_labels=max(len(self.wanted_labels), 1),
             max_cosine_distance=args.max_cosine_distance,
             max_iou_distance=args.max_iou_distance,
@@ -210,6 +242,25 @@ class Pipeline:
         # takes precedence over --restore-from-log.
         if args.state_checkpoint and os.path.exists(args.state_checkpoint):
             try:
+                # A checkpoint saved after runtime gallery growth carries a
+                # larger gallery axis than the freshly-configured tracker;
+                # grow ours to match before the shape check so long-run
+                # checkpoints restore with the same CLI args.
+                with np.load(args.state_checkpoint) as _f:
+                    g_ckpt = (_f['table/gallery'].shape[1]
+                              if 'table/gallery' in _f.files else None)
+                if g_ckpt is not None and \
+                        g_ckpt > self.tracker_cfg.gallery_size:
+                    self.tracker_cfg, table = tt.grow_gallery(
+                        self.tracker_cfg, self.state.table, g_ckpt)
+                    self.framestep = FrameStep(
+                        self.detector, self.encoder, self.tracker_cfg,
+                        self.wanted_labels,
+                        (self.framestep.frame_h, self.framestep.frame_w),
+                        self.framestep.step_cfg)
+                    self.state = PipelineState(table, self.state.bg)
+                    print(f'Tracker gallery grown to {g_ckpt} to match '
+                          'the checkpoint.')
                 self.state, counters, fc = load_state(
                     args.state_checkpoint, self.state)
                 self.counting.restore(counters)
@@ -297,8 +348,13 @@ class Pipeline:
             self.everyframe = threading.Event()
             args.disable_powersaving = True
         elif self.input is None:
-            self.input = args.gstreamer if args.gstreamer is not None \
-                else args.camera
+            if args.gstreamer is not None:
+                self.input = args.gstreamer
+            elif args.gstreamer_nvidia:
+                self.input = gstreamer_nvidia_pipeline(args.camera_width,
+                                                       args.camera_height)
+            else:
+                self.input = args.camera
         else:
             if args.simulate_camera:
                 simcam = [int(n) for n in args.simulate_camera]
@@ -646,10 +702,26 @@ class Pipeline:
         by --gallery-max, past which ring reuse begins (warned once)."""
         if self.args.disable_gallery_growth:
             return
+        if getattr(self, '_gallery_capped_warned', False):
+            return   # growth already known unavailable; ring reuse active
+        if not self._gallery_growth_ok:
+            # live mode: never rebuild the fused program mid-stream (the
+            # gallery was pre-sized in __init__); warn once when the ring
+            # starts reusing
+            if not getattr(self, '_gallery_capped_warned', False) and \
+                    tt.gallery_overflow(self.tracker_cfg, self.state.table):
+                self._gallery_capped_warned = True
+                print('Live mode: appearance gallery ring reuse began '
+                      f'(size {self.tracker_cfg.gallery_size}); oldest '
+                      'features overwritten for very long-lived tracks.')
+            return
         G = self.tracker_cfg.gallery_size
         pressure = tt.gallery_pressure(self.tracker_cfg, self.state.table)
-        # a chunk can add at most chunk_len features per slot
-        if pressure + chunk_len < G:
+        # batch sizes vary (a 1-frame tail can be followed by a full
+        # chunk), so the margin must cover the LARGEST possible next batch,
+        # not the one just processed
+        margin = max(chunk_len, int(self.args.chunk_size))
+        if pressure + margin < G:
             return
         if G >= self.args.gallery_max:
             if not getattr(self, '_gallery_capped_warned', False):
@@ -659,10 +731,20 @@ class Pipeline:
                       'tracks (bounded divergence from the unbounded '
                       'reference gallery).')
             return
-        new_size = min(max(2 * G, pressure + chunk_len + 1),
+        new_size = min(max(2 * G, pressure + margin + 1),
                        self.args.gallery_max)
-        self.tracker_cfg, table = tt.grow_gallery(
-            self.tracker_cfg, self.state.table, new_size)
+        try:
+            self.tracker_cfg, table = tt.grow_gallery(
+                self.tracker_cfg, self.state.table, new_size)
+        except ValueError as e:
+            # already wrapped (shouldn't happen with the chunk_size margin)
+            # -> degrade to bounded-ring reuse instead of crashing the
+            # frame worker
+            if not getattr(self, '_gallery_capped_warned', False):
+                self._gallery_capped_warned = True
+                print(f'Gallery growth unavailable ({e}); continuing with '
+                      'the bounded ring.')
+            return
         self.framestep = FrameStep(
             self.detector, self.encoder, self.tracker_cfg,
             self.wanted_labels,
