@@ -556,6 +556,101 @@ def read_tflite_io_quant(model_path: str):
 
 
 # --------------------------------------------------------------------------
+# TFLITE_DETECTION_POST_PROCESS: the fused custom op real zoo detector
+# flatbuffers end in (consumed by the reference at
+# tools/ssd_mobilenet.py:100-127 and tools/tflite_object_detector.py:154-172).
+# It carries the model's ACTUAL anchor table as a constant input and the
+# decode scales + NMS parameters as flexbuffer options — the ground truth
+# our native decode must match.
+# --------------------------------------------------------------------------
+
+CUSTOM_OP_CODE = 32
+DETECTION_POSTPROCESS = "TFLite_Detection_PostProcess"
+
+
+@dataclass
+class DetectionPostProcess:
+    """Parsed TFLite_Detection_PostProcess custom op (anchors + options).
+
+    Field semantics follow the kernel
+    (tensorflow/lite/kernels/detection_postprocess.cc): anchors are
+    (A, 4) [y_center, x_center, h, w] in normalized coordinates; box
+    encodings are divided by (y_scale, x_scale, h_scale, w_scale) before
+    the standard centroid/log-size decode; the score input includes a
+    leading background column when it has num_classes + 1 columns."""
+    anchors: np.ndarray
+    scales: Tuple[float, float, float, float]    # (y, x, h, w)
+    nms_score_threshold: float
+    nms_iou_threshold: float
+    max_detections: int
+    max_classes_per_detection: int
+    detections_per_class: int
+    use_regular_nms: bool
+    num_classes: int
+
+
+def read_tflite_postprocess(model_path: str) -> Optional[DetectionPostProcess]:
+    """Extract the TFLite_Detection_PostProcess op from a flatbuffer, or
+    None when the model ends in raw head tensors instead."""
+    from tensorflow.lite.python import schema_py_generated as fb
+    from flatbuffers import flexbuffers
+
+    with open(model_path, "rb") as f:
+        buf = bytearray(f.read())
+    model = fb.Model.GetRootAsModel(buf, 0)
+    sg = model.Subgraphs(0)
+
+    for oi in range(sg.OperatorsLength()):
+        op = sg.Operators(oi)
+        oc = model.OperatorCodes(op.OpcodeIndex())
+        code = int(max(oc.BuiltinCode(), oc.DeprecatedBuiltinCode()))
+        custom = oc.CustomCode()
+        if code != CUSTOM_OP_CODE or custom is None \
+                or custom.decode() != DETECTION_POSTPROCESS:
+            continue
+        if op.InputsLength() < 3:
+            raise ValueError(f"{DETECTION_POSTPROCESS} op has "
+                             f"{op.InputsLength()} inputs; expected "
+                             "(box_encodings, class_predictions, anchors)")
+        at = sg.Tensors(op.Inputs(2))
+        ab = model.Buffers(at.Buffer())
+        if ab.DataLength() == 0:
+            raise ValueError(f"{DETECTION_POSTPROCESS} anchors tensor "
+                             f"{at.Name().decode()!r} is not constant")
+        dt = _TENSOR_NP.get(at.Type())
+        anchors = np.frombuffer(ab.DataAsNumpy().tobytes(), dtype=dt)
+        anchors = _dequant(at, anchors.reshape(at.ShapeAsNumpy()))
+        anchors = np.asarray(anchors, np.float32)
+        if anchors.ndim != 2 or anchors.shape[1] != 4:
+            raise ValueError(f"anchor tensor has shape {anchors.shape}; "
+                             "expected (A, 4)")
+
+        raw = op.CustomOptionsAsNumpy()
+        if raw is None or np.isscalar(raw) or raw.size == 0:
+            raise ValueError(f"{DETECTION_POSTPROCESS} op carries no "
+                             "flexbuffer options")
+        opts = flexbuffers.Loads(bytes(raw.tobytes()))
+        missing = [k for k in ("num_classes", "y_scale", "x_scale",
+                               "h_scale", "w_scale") if k not in opts]
+        if missing:
+            raise ValueError(f"{DETECTION_POSTPROCESS} options missing "
+                             f"required keys {missing}: {sorted(opts)}")
+        return DetectionPostProcess(
+            anchors=anchors,
+            scales=(float(opts["y_scale"]), float(opts["x_scale"]),
+                    float(opts["h_scale"]), float(opts["w_scale"])),
+            nms_score_threshold=float(opts.get("nms_score_threshold", 0.0)),
+            nms_iou_threshold=float(opts.get("nms_iou_threshold", 0.6)),
+            max_detections=int(opts.get("max_detections", 10)),
+            max_classes_per_detection=int(
+                opts.get("max_classes_per_detection", 1)),
+            detections_per_class=int(opts.get("detections_per_class", 100)),
+            use_regular_nms=bool(opts.get("use_regular_nms", False)),
+            num_classes=int(opts["num_classes"]))
+    return None
+
+
+# --------------------------------------------------------------------------
 # Kernel layout transforms: TFLite / TF -> flax.
 # --------------------------------------------------------------------------
 
@@ -1183,10 +1278,38 @@ def convert_keras_h5(net, example_shape, path: str, strict: bool = True):
 # Family entry points (detector/encoder factories call these).
 # --------------------------------------------------------------------------
 
+def _attach_postprocess(model_path: str, report: dict,
+                        our_anchors: Optional[np.ndarray]) -> dict:
+    """Record the flatbuffer's fused-postprocess parameters in the report
+    and cross-check our generated anchor table against the embedded one.
+    The embedded anchors are authoritative (the kernel decodes against
+    them); detectors configured from this report use them directly, so a
+    mismatch is diagnostic, not fatal."""
+    pp = read_tflite_postprocess(model_path)
+    if pp is None:
+        return report
+    report["postprocess"] = pp
+    if our_anchors is not None:
+        ours = np.asarray(our_anchors, np.float32)
+        if ours.shape == pp.anchors.shape:
+            report["anchors_max_abs_diff"] = float(
+                np.abs(ours - pp.anchors).max())
+            report["anchors_verified"] = bool(
+                report["anchors_max_abs_diff"] < 1e-3)
+        else:
+            report["anchors_verified"] = False
+            report["anchors_shape_ours"] = tuple(ours.shape)
+            report["anchors_shape_embedded"] = tuple(pp.anchors.shape)
+    return report
+
+
 def load_ssd_mobilenet_tflite(model_path: str):
-    from .ssd_mobilenet import INPUT_SIZE, SSDMobileNetV1
-    return convert_tflite(SSDMobileNetV1(), (INPUT_SIZE, INPUT_SIZE, 3),
-                          model_path)
+    from .ssd_mobilenet import (INPUT_SIZE, SSDMobileNetV1,
+                                generate_anchors)
+    variables, report = convert_tflite(
+        SSDMobileNetV1(), (INPUT_SIZE, INPUT_SIZE, 3), model_path)
+    report = _attach_postprocess(model_path, report, generate_anchors())
+    return variables, report
 
 
 def load_yolov5_tflite(model_path: str, input_size: int = None):
@@ -1197,8 +1320,17 @@ def load_yolov5_tflite(model_path: str, input_size: int = None):
 
 def load_efficientdet_tflite(model_path: str):
     from .efficientdet import INPUT_SIZE, EfficientDetLite0
-    return convert_tflite(EfficientDetLite0(), (INPUT_SIZE, INPUT_SIZE, 3),
-                          model_path)
+    variables, report = convert_tflite(
+        EfficientDetLite0(), (INPUT_SIZE, INPUT_SIZE, 3), model_path)
+    # EfficientDet-Lite exports embed pixel-unit anchors divided by the
+    # input size; compare in the op's normalized convention
+    try:
+        from .efficientdet import generate_anchors as _edet_anchors
+        ours = _edet_anchors() / float(INPUT_SIZE)
+    except Exception:       # pragma: no cover - diagnostics only
+        ours = None
+    report = _attach_postprocess(model_path, report, ours)
+    return variables, report
 
 
 def import_tf_checkpoint(path: str) -> Dict[str, np.ndarray]:

@@ -230,7 +230,8 @@ class EfficientDetLite0Detector:
     def __init__(self, params=None, seed: int = 0, max_outputs: int = 32,
                  top_k: int = 100, score_threshold: float = 0.5,
                  iou_threshold: float = 0.5, compute_dtype=jnp.bfloat16,
-                 norm_mean=(127.0,), norm_std=(128.0,)):
+                 norm_mean=(127.0,), norm_std=(128.0,),
+                 anchors=None, box_scale=None):
         self.width = self.height = INPUT_SIZE
         self.net = EfficientDetLite0(compute_dtype=compute_dtype,
                                      norm_mean=tuple(norm_mean),
@@ -240,7 +241,12 @@ class EfficientDetLite0Detector:
                 jax.random.PRNGKey(seed),
                 jnp.zeros((INPUT_SIZE, INPUT_SIZE, 3), jnp.float32))
         self.params = params
-        self.anchors = jnp.asarray(generate_anchors())
+        # pixel-unit anchors; a real flatbuffer's embedded (normalized)
+        # anchor table is scaled by INPUT_SIZE at the registry
+        self.anchors = jnp.asarray(anchors if anchors is not None
+                                   else generate_anchors())
+        # EfficientDet exports use decode scales (1, 1, 1, 1)
+        self.box_scale = tuple(box_scale) if box_scale else (1.0,) * 4
         self.max_outputs = max_outputs
         self.top_k = top_k
         self.score_threshold = score_threshold
@@ -250,10 +256,11 @@ class EfficientDetLite0Detector:
         box_enc, logits = self.net.apply(params, image_resized)
         ya, xa = self.anchors[:, 0], self.anchors[:, 1]
         ha, wa = self.anchors[:, 2], self.anchors[:, 3]
-        ycenter = box_enc[:, 0] * ha + ya
-        xcenter = box_enc[:, 1] * wa + xa
-        h = jnp.exp(box_enc[:, 2]) * ha
-        w = jnp.exp(box_enc[:, 3]) * wa
+        sy, sx, sh, sw_ = self.box_scale
+        ycenter = box_enc[:, 0] / sy * ha + ya
+        xcenter = box_enc[:, 1] / sx * wa + xa
+        h = jnp.exp(box_enc[:, 2] / sh) * ha
+        w = jnp.exp(box_enc[:, 3] / sw_) * wa
         probs = jax.nn.sigmoid(logits)
         scores = jnp.max(probs, axis=1)
         classes = jnp.argmax(probs, axis=1).astype(jnp.int32)

@@ -90,30 +90,48 @@ class ScriptedDetector:
 def _load_real_weights(path: str, family: str):
     """Convert a real weight artifact (TFLite flatbuffer, Keras .h5, or a
     native .npz saved by models.weights.save_npz) into a flax variable tree
-    for `family`. Returns None when the path is not a loadable artifact."""
+    for `family`. Returns (params, extras); params is None when the path is
+    not a loadable artifact. extras carries the flatbuffer's fused
+    TFLite_Detection_PostProcess parameters (embedded anchors, decode
+    scales, NMS options) when the file ends in that custom op — the
+    artifacts the reference actually ships (tools/ssd_mobilenet.py:100-127,
+    tools/tflite_object_detector.py:154-172)."""
     from . import convert as cv
     from . import weights as w
     if path.endswith(".npz"):
-        return w.load_npz(path)
+        return w.load_npz(path), {}
     if path.endswith(".tflite"):
-        if family == "yolov5":
-            return cv.load_yolov5_tflite(path)[0]
-        if family == "efficientdet":
-            return cv.load_efficientdet_tflite(path)[0]
-        if family == "ssd":
-            return cv.load_ssd_mobilenet_tflite(path)[0]
+        loader = {"yolov5": cv.load_yolov5_tflite,
+                  "efficientdet": cv.load_efficientdet_tflite,
+                  "ssd": cv.load_ssd_mobilenet_tflite}.get(family)
+        if loader is not None:
+            params, report = loader(path)
+            extras = {}
+            pp = report.get("postprocess")
+            if pp is not None:
+                extras["postprocess"] = pp
+                if report.get("anchors_verified") is False:
+                    print("note: generated anchors differ from the "
+                          "flatbuffer's embedded anchor table "
+                          f"({report.get('anchors_max_abs_diff')}); "
+                          "using the embedded anchors.")
+            return params, extras
     if path.endswith(".h5") and family == "yolov3":
-        return cv.load_yolov3_h5(path)[0]
-    return None
+        return cv.load_yolov3_h5(path)[0], {}
+    return None, {}
 
 
 def create_detector(model_name: str, wanted_labels=None, label_file=None,
                     score_threshold: float = 0.5, params=None,
-                    max_outputs: int = 32, **kw):
+                    max_outputs: int = 32,
+                    allow_random_weights: bool = False, **kw):
     """Substring dispatch like deepdish.py:482-502. When `model_name` is an
     existing weight file (.tflite/.h5/.npz) the pre-trained weights are
     converted on load (models/convert.py) — the TPU-native replacement for
-    the reference's interpreter-based consumption."""
+    the reference's interpreter-based consumption. A weight file that fails
+    to convert raises (the reference fails loudly too when the interpreter
+    rejects a file); pass allow_random_weights=True (CLI:
+    --allow-random-weights) to fall back to random-init instead."""
     name = (model_name or "ssd_mobilenet").lower()
     if "scripted" in name:
         key = name.split("scripted:", 1)[1] if "scripted:" in name else None
@@ -123,6 +141,7 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
             raise ValueError(f"no registered script for model {model_name!r}"
                              " (use models.registry.register_script)")
         return ScriptedDetector(script, wanted_labels=wanted_labels)
+    extras = {}
     if params is None and model_name and os.path.exists(model_name):
         family = ("yolov5" if "yolov5" in name else
                   "yolov3" if "yolo" in name else
@@ -132,11 +151,20 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
                                          and "mobilenet" not in name)) else
                   "ssd")
         try:
-            params = _load_real_weights(model_name, family)
+            params, extras = _load_real_weights(model_name, family)
         except Exception as e:
+            if not allow_random_weights:
+                raise ValueError(
+                    f"weight conversion failed for {model_name} (inferred "
+                    f"family {family!r}): {e}. If the family is wrong, "
+                    "rename the file or convert offline with `python -m "
+                    "deepdish_tpu.models.convert --family ...`; pass "
+                    "--allow-random-weights to run without pre-trained "
+                    "weights.") from e
             print(f"weight conversion failed for {model_name} ({e}); "
                   "running with random-init weights")
             params = None
+    pp = extras.get("postprocess")
     if "yolov5" in name:
         det = YOLOv5Detector(params=params, max_outputs=max_outputs,
                              score_threshold=max(score_threshold, 0.25))
@@ -161,19 +189,42 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
                 meta.update(read_metadata(model_name))
             except Exception as e:
                 print(f"tflite metadata unavailable ({e}); using defaults")
+        det_kw = dict(score_threshold=score_threshold)
+        if pp is not None:
+            # the fused op's parameters are authoritative for this file
+            # (tools/tflite_object_detector.py consumes the op's outputs);
+            # the op's normalized anchors map to our pixel convention via
+            # the model input size
+            from .efficientdet import INPUT_SIZE as _EDET_SIZE
+            det_kw.update(
+                anchors=pp.anchors * float(_EDET_SIZE),
+                box_scale=pp.scales,
+                score_threshold=max(score_threshold,
+                                    pp.nms_score_threshold),
+                iou_threshold=pp.nms_iou_threshold)
         det = EfficientDetLite0Detector(params=params,
                                         max_outputs=max_outputs,
-                                        score_threshold=score_threshold,
                                         norm_mean=meta["mean"],
-                                        norm_std=meta["std"])
+                                        norm_std=meta["std"],
+                                        **det_kw)
         labels = (meta["labels"] if meta.get("labels")
                   else load_labels(label_file))
         det.labels = {i: n for i, n in enumerate(labels)}
         det.label_offset = 0
         return det
     if "ssd" in name or "mobilenet" in name or "edgetpu" in name:
+        det_kw = dict(score_threshold=score_threshold)
+        if pp is not None:
+            # embedded anchor table + decode scales + the op's NMS
+            # parameters (tools/ssd_mobilenet.py:100-127 consumes the op's
+            # outputs, then filters by the CLI confidence — hence max())
+            det_kw.update(
+                anchors=pp.anchors, box_scale=pp.scales,
+                score_threshold=max(score_threshold,
+                                    pp.nms_score_threshold),
+                iou_threshold=pp.nms_iou_threshold)
         det = SSDMobileNetDetector(params=params, max_outputs=max_outputs,
-                                   score_threshold=score_threshold)
+                                   **det_kw)
         # +1 labelmap offset applied by the reference adaptor
         # (ssd_mobilenet.py:143-145); our COCO_LABELS is already offset-free.
         det.labels = {i: n for i, n in enumerate(load_labels(label_file))}

@@ -141,13 +141,16 @@ def generate_anchors(input_size: int = INPUT_SIZE) -> np.ndarray:
     return np.asarray(anchors, np.float32)
 
 
-def decode_boxes(box_encodings: jnp.ndarray, anchors: jnp.ndarray):
-    """(ty, tx, th, tw) -> normalized (ymin, xmin, ymax, xmax)."""
+def decode_boxes(box_encodings: jnp.ndarray, anchors: jnp.ndarray,
+                 box_scale=BOX_SCALE):
+    """(ty, tx, th, tw) -> normalized (ymin, xmin, ymax, xmax). box_scale
+    defaults to the TF-OD standard (10, 10, 5, 5); real flatbuffers carry
+    their own in the fused postprocess op's options."""
     ya, xa, ha, wa = anchors[:, 0], anchors[:, 1], anchors[:, 2], anchors[:, 3]
-    ty = box_encodings[:, 0] / BOX_SCALE[0]
-    tx = box_encodings[:, 1] / BOX_SCALE[1]
-    th = box_encodings[:, 2] / BOX_SCALE[2]
-    tw = box_encodings[:, 3] / BOX_SCALE[3]
+    ty = box_encodings[:, 0] / box_scale[0]
+    tx = box_encodings[:, 1] / box_scale[1]
+    th = box_encodings[:, 2] / box_scale[2]
+    tw = box_encodings[:, 3] / box_scale[3]
     ycenter = ty * ha + ya
     xcenter = tx * wa + xa
     h = jnp.exp(th) * ha
@@ -164,7 +167,8 @@ class SSDMobileNetDetector:
     def __init__(self, params=None, seed: int = 0, max_outputs: int = 32,
                  top_k: int = 100, score_threshold: float = 0.5,
                  iou_threshold: float = 0.5,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16,
+                 anchors=None, box_scale=None):
         self.width = self.height = INPUT_SIZE
         self.net = SSDMobileNetV1(compute_dtype=compute_dtype)
         if params is None:
@@ -172,7 +176,11 @@ class SSDMobileNetDetector:
                 jax.random.PRNGKey(seed),
                 jnp.zeros((INPUT_SIZE, INPUT_SIZE, 3), jnp.float32))
         self.params = params
-        self.anchors = jnp.asarray(generate_anchors())
+        # a real flatbuffer's embedded anchor table / decode scales (from
+        # its TFLite_Detection_PostProcess op) override the generated ones
+        self.anchors = jnp.asarray(anchors if anchors is not None
+                                   else generate_anchors())
+        self.box_scale = tuple(box_scale) if box_scale else BOX_SCALE
         self.max_outputs = max_outputs
         self.top_k = top_k
         self.score_threshold = score_threshold
@@ -183,7 +191,7 @@ class SSDMobileNetDetector:
         (boxes_xyxy (K, 4) in original-image pixels, classes (K,) int32
         0-based, scores (K,), valid (K,) bool), K = max_outputs."""
         box_enc, logits = self.net.apply(params, image_resized)
-        boxes = decode_boxes(box_enc, self.anchors)
+        boxes = decode_boxes(box_enc, self.anchors, self.box_scale)
         probs = jax.nn.sigmoid(logits)[:, 1:]  # strip background
         scores = jnp.max(probs, axis=1)
         classes = jnp.argmax(probs, axis=1).astype(jnp.int32)

@@ -33,9 +33,9 @@ class TFLiteHostDetector:
         except Exception:
             meta = {"mean": [127.5], "std": [127.5], "labels": None}
         if mean is None:
-            mean = float(np.mean(meta["mean"]))
+            mean = float(np.mean(meta.get("mean", [127.5])))
         if std is None:
-            std = float(np.mean(meta["std"]))
+            std = float(np.mean(meta.get("std", [127.5])))
         if not labels and meta.get("labels"):
             labels = meta["labels"]
         self.interp = tf.lite.Interpreter(model_path=model_path,

@@ -122,11 +122,13 @@ _LABEL_FILE_TYPES = (2, 3)   # TENSOR_AXIS_LABELS, TENSOR_VALUE_LABELS
 
 
 def read_metadata(model_path: str) -> Dict:
-    """Returns {"mean": [...], "std": [...], "label_file": str or None,
-    "labels": [...] or None}. Missing pieces fall back to the reference's
-    defaults (mean/std 127.5, tflite_object_detector.py:129-131)."""
-    out = {"mean": [127.5], "std": [127.5], "label_file": None,
-           "labels": None}
+    """Returns only the fields actually present in the flatbuffer metadata
+    (a subset of {"mean", "std", "label_file", "labels"}), so callers'
+    family-specific defaults survive when a piece is absent — the reference
+    falls back to 127.5/127.5 only when NormalizationOptions is missing
+    (tflite_object_detector.py:123-131), and EfficientDet-Lite exports
+    document mean 127 / std 128."""
+    out: Dict = {}
     meta = _metadata_buffer(model_path)
     if meta is None:
         return out
@@ -154,9 +156,9 @@ def read_metadata(model_path: str) -> Dict:
             if af.scalar(2, "<b", 0) in _LABEL_FILE_TYPES:
                 out["label_file"] = af.string(0)
                 break
-        if out["label_file"]:
+        if out.get("label_file"):
             break
-    if out["label_file"] is None:
+    if not out.get("label_file"):
         # some packers attach the labels at the subgraph/model level
         for holder in ([sg] + [root]):
             for af in holder.vector_tables(4 if holder is sg else 6):
@@ -164,10 +166,12 @@ def read_metadata(model_path: str) -> Dict:
                 if name and name.endswith(".txt"):
                     out["label_file"] = name
                     break
-            if out["label_file"]:
+            if out.get("label_file"):
                 break
-    if out["label_file"]:
-        out["labels"] = _read_packed_file(model_path, out["label_file"])
+    if out.get("label_file"):
+        labels = _read_packed_file(model_path, out["label_file"])
+        if labels:
+            out["labels"] = labels
     return out
 
 

@@ -147,9 +147,10 @@ def test_read_metadata_absent(tiny_tflite, tmp_path):
     path = str(tmp_path / "plain.tflite")
     with open(path, "wb") as f:
         f.write(tiny_tflite)
+    # absent metadata -> NO fields reported, so family-specific defaults
+    # (EfficientDet-Lite mean 127 / std 128) survive at the call site
     got = read_metadata(path)
-    assert got["mean"] == [127.5] and got["std"] == [127.5]
-    assert got["labels"] is None
+    assert got == {}
 
 
 def test_detector_uses_metadata(tiny_tflite, tmp_path):
@@ -162,7 +163,7 @@ def test_detector_uses_metadata(tiny_tflite, tmp_path):
     path = str(tmp_path / "edet.tflite")
     with open(path, "wb") as f:
         f.write(blob)
-    det = create_detector(path)
+    det = create_detector(path, allow_random_weights=True)
     assert det.labels[0] == "aardvark" and det.labels[1] == "zebra"
     assert det.net.norm_mean == (100.0,)
     assert det.net.norm_std == (50.0,)
