@@ -6,13 +6,20 @@ K components per pixel, weight pruning with complexity-reduction prior,
 shadow detection) re-expressed as fixed-shape (H, W, K) tensor updates so
 the whole subtractor runs on device and can fuse with the frame step.
 
-Semantics follow OpenCV's defaults: history=500 (alpha = 1/min(t, history)),
+Semantics follow OpenCV's defaults: history=500 (alpha = 1/min(2t, history)),
 varThreshold Tb=16, Tg=9 for component generation, backgroundRatio TB=0.9,
 varInit=15, varMin=4, varMax=75, CT=0.05, shadow value 127 with tau=0.5.
 The mask contract matches OpenCV: 255 foreground, 127 shadow, 0 background.
-(OpenCV's exact per-pixel loop has order-dependent tie behavior that a
-vectorized version cannot reproduce bit-for-bit; masks agree closely in
-practice — see tests.)
+
+The foreground decision replicates cv2's in-loop rule: the pixel is tested
+against the PRE-update component means/variances, in the PRE-update sort
+order, gated by the cumulative post-update weights (bgfg_gaussmix2.cpp's
+`totalWeight < backgroundRatio` accumulation) — so e.g. the very first
+frame is all-foreground exactly like cv2 (no components existed yet), and
+a newly inserted component never votes for background on its own frame.
+(OpenCV's per-pixel loop still has order-dependent tie behavior a
+vectorized version cannot reproduce bit-for-bit; see tests for the
+measured agreement.)
 """
 from __future__ import annotations
 
@@ -54,7 +61,10 @@ def update(state: MOG2State, frame, detect_shadows: bool = True):
     x = frame.astype(jnp.float32)
     w_, mu, var = state.weight, state.mean, state.var
     frames = state.frames + 1
-    alpha = 1.0 / jnp.minimum(frames, HISTORY).astype(jnp.float32)
+    # cv2's auto learning rate is 1/min(2*nframes, history)
+    # (BackgroundSubtractorMOG2Impl::apply) — the factor 2 matters for
+    # how long a newly appeared object stays foreground
+    alpha = 1.0 / jnp.minimum(2 * frames, HISTORY).astype(jnp.float32)
 
     diff = x[:, :, None, :] - mu                    # (H, W, K, 3)
     dist2 = jnp.sum(diff * diff, axis=-1)           # (H, W, K)
@@ -79,6 +89,37 @@ def update(state: MOG2State, frame, detect_shadows: bool = True):
     mu_new = mu + kfac[..., None] * diff
     var_new = jnp.clip(var + kfac * (dist2 - var), VAR_MIN, VAR_MAX)
 
+    # ---- foreground decision: cv2's in-loop rule ----
+    # Components are tested in the OLD (pre-update) sort order against
+    # their OLD means/variances; a component may vote for background only
+    # while the cumulative UPDATED weight of the components before it is
+    # still below backgroundRatio. Newly inserted components are excluded
+    # (cv2 appends them after the decision), so frame 1 is all-foreground.
+    cum_before_old = jnp.cumsum(w_new, axis=-1) - w_new
+    may_vote = valid & (cum_before_old < BG_RATIO)
+    bg_fit = may_vote & (dist2 < TB * var)
+    background = jnp.any(bg_fit, axis=-1)
+
+    mask = jnp.where(background, 0, 255).astype(jnp.uint8)
+
+    if detect_shadows:
+        # chromatic shadow test against the pre-update background
+        # components (Prati/Zivkovic): brightness ratio in [tau, 1] and
+        # low color distortion.
+        mm = jnp.sum(mu * mu, axis=-1)                         # (H,W,K)
+        xm = jnp.sum(x[:, :, None, :] * mu, axis=-1)
+        ratio = xm / jnp.maximum(mm, 1e-8)
+        scaled = ratio[..., None] * mu
+        cdiff = x[:, :, None, :] - scaled
+        cdist2 = jnp.sum(cdiff * cdiff, axis=-1)
+        shadow_fit = (may_vote & (ratio >= SHADOW_TAU) & (ratio <= 1.0)
+                      & (cdist2 < TB * var))
+        is_shadow = (~background) & jnp.any(shadow_fit, axis=-1)
+        # cv2 quirk: on the very first frame (no components yet) every
+        # pixel comes back 127, not 255
+        is_shadow = is_shadow | (state.frames == 0)
+        mask = jnp.where(is_shadow, SHADOW_VAL, mask).astype(jnp.uint8)
+
     # no fit -> new component in the weakest slot (K-1; list is sorted)
     new_here = ~any_fit
     slot = kidx[None, None, :] == (K - 1)
@@ -94,34 +135,6 @@ def update(state: MOG2State, frame, detect_shadows: bool = True):
     w_new = jnp.take_along_axis(w_new, order, axis=-1)
     mu_new = jnp.take_along_axis(mu_new, order[..., None], axis=-2)
     var_new = jnp.take_along_axis(var_new, order, axis=-1)
-
-    # background test on the UPDATED sorted model: components whose
-    # cumulative prior weight is below BG_RATIO form the background model;
-    # pixel is background if it sits within Tb*var of one of them.
-    cumw = jnp.cumsum(w_new, axis=-1)
-    cum_before = cumw - w_new
-    is_bg_comp = (cum_before < BG_RATIO) & (w_new > 0)
-    diff2 = x[:, :, None, :] - mu_new
-    d2 = jnp.sum(diff2 * diff2, axis=-1)
-    bg_fit = is_bg_comp & (d2 < TB * var_new)
-    background = jnp.any(bg_fit, axis=-1)
-
-    mask = jnp.where(background, 0, 255).astype(jnp.uint8)
-
-    if detect_shadows:
-        # chromatic shadow test against background components
-        # (Prati/Zivkovic): brightness ratio in [tau, 1] and low color
-        # distortion.
-        mm = jnp.sum(mu_new * mu_new, axis=-1)                 # (H,W,K)
-        xm = jnp.sum(x[:, :, None, :] * mu_new, axis=-1)
-        ratio = xm / jnp.maximum(mm, 1e-8)
-        scaled = ratio[..., None] * mu_new
-        cdiff = x[:, :, None, :] - scaled
-        cdist2 = jnp.sum(cdiff * cdiff, axis=-1)
-        shadow_fit = (is_bg_comp & (ratio >= SHADOW_TAU) & (ratio <= 1.0)
-                      & (cdist2 < TB * var_new))
-        is_shadow = (~background) & jnp.any(shadow_fit, axis=-1)
-        mask = jnp.where(is_shadow, SHADOW_VAL, mask).astype(jnp.uint8)
 
     new_state = MOG2State(weight=w_new, mean=mu_new, var=var_new,
                           frames=frames)

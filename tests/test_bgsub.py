@@ -38,21 +38,18 @@ def test_moving_object_detected(rng):
 
 
 def test_agrees_with_cv2(rng):
-    """Masks should agree with cv2's MOG2 on the clear-cut pixels."""
+    """Masks are byte-exact with cv2 frame by frame on this scene (round 3:
+    the update replicates cv2's in-loop background decision and the
+    1/min(2t, history) auto learning rate; a tiny per-frame budget is left
+    for the vectorized version's tie-order differences)."""
     frames = _scene(rng)
     ours = bgsub.init_state(48, 64)
     theirs = cv2.createBackgroundSubtractorMOG2()
-    for f in frames:
+    for i, f in enumerate(frames):
         ours, m1 = bgsub.update_jit(ours, jnp.asarray(f))
         m2 = theirs.apply(f)
-    m1 = np.asarray(m1)
-    # compare binarized foreground (shadow values differ in detail)
-    f1 = m1 == 255
-    f2 = m2 == 255
-    inter = (f1 & f2).sum()
-    union = (f1 | f2).sum()
-    assert union > 0
-    assert inter / union > 0.5, f"mask IoU too low: {inter / union}"
+        exact = (np.asarray(m1) == m2).mean()
+        assert exact > 0.999, f"frame {i}: exact agreement {exact}"
 
 
 def test_shadow_value(rng):
