@@ -24,10 +24,14 @@ def _tf():
     return pytest.importorskip("tensorflow")
 
 
-def _make_full_ssd_tflite(tmp_path, quantize=False):
+def _make_full_ssd_tflite(tmp_path, quantize=False, postprocess=False,
+                          full_int8=False):
     """TF mirror of models/ssd_mobilenet.py SSDMobileNetV1 with random
     weights, exported through tf.lite.TFLiteConverter (float32, or int8
-    dynamic-range weight quantization with quantize=True)."""
+    dynamic-range weight quantization with quantize=True). With
+    postprocess=True the export matches the real zoo layout: batched
+    sigmoid score tensor and a TFLite_Detection_PostProcess custom op
+    carrying the anchor table + NMS options (tools/ssd_mobilenet.py:100)."""
     tf = _tf()
     rng = np.random.RandomState(7)
     consts = []
@@ -108,6 +112,12 @@ def _make_full_ssd_tflite(tmp_path, quantize=False):
                 c = tf.nn.conv2d(f, ck, 1, "SAME") + cb
                 box_out.append(tf.reshape(b, (-1, 4)))
                 cls_out.append(tf.reshape(c, (-1, nclass)))
+            if postprocess:
+                # real-export layout: batch dim + in-graph sigmoid feeding
+                # the fused postprocess op
+                return (tf.reshape(tf.concat(box_out, 0), (1, -1, 4)),
+                        tf.sigmoid(tf.reshape(tf.concat(cls_out, 0),
+                                              (1, -1, nclass))))
             return (tf.concat(box_out, 0), tf.concat(cls_out, 0))
 
     m = M()
@@ -115,9 +125,36 @@ def _make_full_ssd_tflite(tmp_path, quantize=False):
         [m.__call__.get_concrete_function()], m)
     if quantize:
         conv.optimizations = [tf.lite.Optimize.DEFAULT]
+    if full_int8:
+        # the reference's actual artifact format: full-integer export with
+        # a representative dataset — uint8 input tensor, int8 activations
+        # with per-tensor scales, int32 biases (tools/ssd_mobilenet.py:100)
+        def _rep():
+            r = np.random.RandomState(11)
+            for _ in range(8):
+                yield [r.uniform(0, 255, (1, 300, 300, 3))
+                       .astype(np.float32)]
+        conv.optimizations = [tf.lite.Optimize.DEFAULT]
+        conv.representative_dataset = _rep
+        conv.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS_INT8]
+        conv.inference_input_type = tf.uint8
+        conv.inference_output_type = tf.float32
     blob = conv.convert()
-    path = str(tmp_path / ("ssd_mobilenet_full_q.tflite" if quantize
-                           else "ssd_mobilenet_full.tflite"))
+    if postprocess:
+        from pp_builder import append_detection_postprocess
+        from deepdish_tpu.models.ssd_mobilenet import generate_anchors
+        anchors = generate_anchors()
+        blob = append_detection_postprocess(
+            blob, anchors,
+            box_shape=(1, len(anchors), 4),
+            score_shape=(1, len(anchors), nclass),
+            num_classes=nclass - 1, nms_score_threshold=0.55,
+            nms_iou_threshold=0.5, max_detections=10,
+            use_regular_nms=True)
+    path = str(tmp_path / ("ssd_mobilenet_int8.tflite" if full_int8 else
+                           "ssd_mobilenet_full_q.tflite" if quantize else
+                           "ssd_mobilenet_pp.tflite" if postprocess else
+                           "ssd_mobilenet_full.tflite"))
     with open(path, "wb") as f:
         f.write(blob)
     return path
@@ -180,6 +217,89 @@ def test_full_ssd_int8_weight_fidelity(ssd_tflite, tmp_path):
     for qo, fo in zip(q_convs, f_convs):
         step = np.abs(fo.kernel).max() / 127.0
         np.testing.assert_allclose(qo.kernel, fo.kernel, atol=step + 1e-6)
+
+
+@pytest.mark.timeout(900)
+def test_full_ssd_full_integer_fidelity(ssd_tflite, tmp_path):
+    """Full-integer export (representative dataset; uint8 input, int8
+    activations with per-tensor scales, int32 biases) — the format of the
+    reference's actual EdgeTPU artifacts (tools/ssd_mobilenet.py:100-103).
+    Ingest it strictly, then quantify the drift of our float math against
+    the int8 interpreter running the same file.
+
+    Documented tolerances (measured on this random-init mirror — the
+    WORST case for activation quantization; trained artifacts have far
+    tamer encodings): median score drift < 0.05, 99th pct < 0.25; decoded
+    top-anchor boxes median IoU > 0.75 with >= 85% above 0.5. Ingestion
+    fidelity itself (weights, not activation noise) is checked sharply:
+    every dequantized kernel of the int8 file sits within its own
+    quantization step of the float export of the SAME graph."""
+    tf = _tf()
+    qpath = _make_full_ssd_tflite(tmp_path, full_int8=True)
+    variables, report = cv_mod.load_ssd_mobilenet_tflite(qpath)
+    assert report["assigned"] == report["total"]
+    assert not report["missing"] and not report["unused_ops"]
+
+    # sharp weight-level fidelity vs the float flatbuffer of the same graph
+    q_ops, _ = cv_mod.read_tflite(qpath)
+    f_ops, _ = cv_mod.read_tflite(ssd_tflite)
+    q_convs = [o for o in q_ops if o.kind in ("conv", "dw")]
+    f_convs = [o for o in f_ops if o.kind in ("conv", "dw")]
+    assert len(q_convs) == len(f_convs) == 47
+    for qo, fo in zip(q_convs, f_convs):
+        # per-channel int8 scales: output axis 0 for CONV, channel axis 3
+        # for DEPTHWISE (the TFLite quantized_dimension convention)
+        ax = 0 if qo.kind == "conv" else 3
+        step = np.abs(fo.kernel).max(
+            axis=tuple(i for i in range(4) if i != ax), keepdims=True) / 127.0
+        assert np.all(np.abs(qo.kernel - fo.kernel) <= step + 1e-6), \
+            qo.out_name
+
+    # the input tensor really is uint8 (the EdgeTPU contract)
+    interp = tf.lite.Interpreter(model_path=qpath)
+    interp.allocate_tensors()
+    din = interp.get_input_details()[0]
+    assert din["dtype"] == np.uint8
+
+    x8 = np.random.RandomState(1).randint(
+        0, 256, (1, 300, 300, 3)).astype(np.uint8)
+    interp.set_tensor(din["index"], x8)
+    interp.invoke()
+    outs = {tuple(d["shape"][-1:]): interp.get_tensor(d["index"])
+            for d in interp.get_output_details()}
+    q_boxes, q_logits = outs[(4,)], outs[(91,)]
+
+    import jax.numpy as jnp
+    from deepdish_tpu.models.ssd_mobilenet import (SSDMobileNetV1,
+                                                   decode_boxes,
+                                                   generate_anchors)
+    net = SSDMobileNetV1(compute_dtype=jnp.float32)
+    f_boxes, f_logits = net.apply(variables, x8[0].astype(np.float32))
+    f_boxes, f_logits = np.asarray(f_boxes), np.asarray(f_logits)
+
+    # score drift: quantization noise, not binding errors (those are O(10))
+    sig = lambda z: 1.0 / (1.0 + np.exp(-z))            # noqa: E731
+    score_drift = np.abs(sig(f_logits) - sig(q_logits))
+    assert np.median(score_drift) < 0.05, np.median(score_drift)
+    assert np.percentile(score_drift, 99) < 0.25
+
+    # decision surface: the interpreter's top-50 anchors (by max class
+    # prob) decode to the same boxes in our float path
+    anchors = jnp.asarray(generate_anchors())
+    q_xy = np.asarray(decode_boxes(jnp.asarray(q_boxes), anchors))
+    f_xy = np.asarray(decode_boxes(jnp.asarray(f_boxes), anchors))
+    top = np.argsort(sig(q_logits)[:, 1:].max(1))[-50:]
+
+    def iou(a, b):
+        yx1 = np.maximum(a[:, :2], b[:, :2])
+        yx2 = np.minimum(a[:, 2:], b[:, 2:])
+        inter = np.prod(np.maximum(yx2 - yx1, 0), 1)
+        area = (np.prod(a[:, 2:] - a[:, :2], 1)
+                + np.prod(b[:, 2:] - b[:, :2], 1) - inter)
+        return inter / np.maximum(area, 1e-9)
+    ious = iou(q_xy[top], f_xy[top])
+    assert np.median(ious) > 0.75, np.median(ious)
+    assert (ious > 0.5).mean() >= 0.85, ious
 
 
 @pytest.mark.timeout(900)
