@@ -1344,6 +1344,28 @@ def import_tf_checkpoint(path: str) -> Dict[str, np.ndarray]:
             for name in reader.get_variable_to_shape_map()}
 
 
+def read_saved_model_variables(path: str) -> Dict[str, np.ndarray]:
+    """Every variable of a SavedModel DIRECTORY as {name: ndarray}, read
+    straight from its variables/variables checkpoint shard — no graph
+    execution. TF1-style exports (the TF-OD export_inference_graph
+    workflow behind the reference's tools/saved_model.py:9-29) keep graph
+    variable names, which is what the name-map converters match on."""
+    import os
+    vpath = os.path.join(path, "variables", "variables")
+    if not os.path.exists(vpath + ".index"):
+        raise FileNotFoundError(
+            f"{path} has no variables/variables checkpoint")
+    return import_tf_checkpoint(vpath)
+
+
+def load_ssd_saved_model(path: str):
+    """TF-OD SSD-MobileNetV1 SavedModel directory -> native SSD weights
+    (convert_ssd_tfod name map). Raises loudly when the directory's
+    variables do not match the SSD family."""
+    tensors = read_saved_model_variables(path)
+    return convert_ssd_tfod(tensors)
+
+
 def load_mars(model_path: str):
     """MARS encoder weights from a frozen .pb / TF checkpoint (name map) or
     a TFLite flatbuffer (structural, BN folded)."""

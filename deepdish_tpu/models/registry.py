@@ -165,6 +165,29 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
                   "running with random-init weights")
             params = None
     pp = extras.get("postprocess")
+    if "saved_model" in name and model_name and os.path.isdir(model_name):
+        # SavedModel DIRECTORY (deepdish.py:489 'saved_model' substring):
+        # a TF-OD SSD export converts to the native TPU detector via its
+        # variables checkpoint; other families (e.g. Faster-RCNN,
+        # tools/saved_model.py:13) fall back to the gated host executor,
+        # which feeds the fused encode/track programs like a scripted
+        # detector.
+        from . import convert as cvm
+        try:
+            ssd_params, _rep = cvm.load_ssd_saved_model(model_name)
+        except Exception as e:
+            print(f"SavedModel dir is not a TF-OD SSD export ({e}); "
+                  "using the host SavedModel executor")
+            from .saved_model import SavedModelDetector
+            return SavedModelDetector(model_name, label_file=label_file,
+                                      wanted_labels=wanted_labels,
+                                      score_threshold=score_threshold)
+        det = SSDMobileNetDetector(params=ssd_params,
+                                   max_outputs=max_outputs,
+                                   score_threshold=score_threshold)
+        det.labels = {i: n for i, n in enumerate(load_labels(label_file))}
+        det.label_offset = 0
+        return det
     if "yolov5" in name:
         det = YOLOv5Detector(params=params, max_outputs=max_outputs,
                              score_threshold=max(score_threshold, 0.25))

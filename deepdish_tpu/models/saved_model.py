@@ -24,6 +24,8 @@ class SavedModelDetector:
     from pbtxt, score threshold + wanted-labels filtering.
     """
 
+    params = None
+
     def __init__(self, model_dir: str, label_file: Optional[str] = None,
                  wanted_labels=None, score_threshold: float = 0.5):
         import tensorflow as tf  # gated
@@ -31,12 +33,24 @@ class SavedModelDetector:
         self.fn = self.model.signatures["serving_default"]
         spec = list(self.fn.structured_input_signature[1].values())[0]
         self.input_dtype = spec.dtype
-        self.labels = (load_pbtxt_labelmap(label_file)
-                       if label_file else {})
-        self.wanted_labels = wanted_labels or ["person"]
+        self.label_names = (load_pbtxt_labelmap(label_file)
+                            if label_file else {})
+        self.wanted_labels = list(wanted_labels or ["person"])
+        # pipeline contract (same as ScriptedDetector): labels maps the
+        # CLASS INDICES detect_host emits (wanted-vocab positions)
+        self.labels = {i: n for i, n in enumerate(self.wanted_labels)}
+        self.label_offset = 0
+        self.use_edgetpu = False
+        shape = getattr(spec, "shape", None)
+        self.height = int(shape[1]) if shape is not None and \
+            shape.rank == 4 and shape[1] is not None else 640
+        self.width = int(shape[2]) if shape is not None and \
+            shape.rank == 4 and shape[2] is not None else 640
         self.score_threshold = score_threshold
 
     def detect_host(self, frame_rgb: np.ndarray):
+        """(tlwh, wanted-vocab class indices, scores) — the contract the
+        pipeline's scripted device path consumes (runtime._scripted_one)."""
         import tensorflow as tf
         inp = tf.convert_to_tensor(frame_rgb[None].astype(
             self.input_dtype.as_numpy_dtype))
@@ -49,11 +63,11 @@ class SavedModelDetector:
         for b, c, s in zip(boxes, classes, scores):
             if s < self.score_threshold:
                 continue
-            name = self.labels.get(int(c), str(int(c)))
+            name = self.label_names.get(int(c), str(int(c)))
             if name not in self.wanted_labels:
                 continue
             y1, x1, y2, x2 = b
             tlwh.append([x1 * w, y1 * h, (x2 - x1) * w, (y2 - y1) * h])
-            labels.append(name)
+            labels.append(self.wanted_labels.index(name))
             out_scores.append(float(s))
         return tlwh, labels, out_scores
