@@ -12,8 +12,18 @@ Options:
   --enc-cap E   appearance-encode capacity per frame (default 8; 0 = every
                 detection slot). Reported overflow is the number of
                 detections past the capacity (0 on this scene).
+  --depth D     host->device transfer depth: keep D chunks in flight
+                (default 2) so the tunnel transfer overlaps device compute
+  --model FILE  a real .tflite flatbuffer to convert and run (same program
+                as random-init; proves converter + perf compose)
   --synthetic   skip the mp4/loader and feed in-memory frames (old mode)
   --rgb         RGB transport instead of I420
+
+The JSON line also reports `transfer_ceiling_fps` (measured raw
+device_put+consume throughput of one chunk THIS run — on the shared axon
+tunnel this is the e2e wall, docs/BENCH_NOTES.md) and `compile_s`/
+`cache_hit` so pool flakiness is distinguishable from trace-time
+regressions.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline is measured FPS / 1000 (the driver's north-star target; the
@@ -50,7 +60,8 @@ def make_video(path, n_frames, h, w):
     wr.release()
 
 
-def bench_multistream(n_streams: int, steps: int = 24, chunk: int = 8):
+def bench_multistream(n_streams: int, steps: int = 24, chunk: int = 8,
+                      enc_cap: int = 8):
     """BASELINE.json config 5: N concurrent 720p streams on one chip, one
     SPMD dispatch per step (vmapped fused program; the Pallas JV kernel
     batches over streams via its custom_vmap grid rule). Each dispatch
@@ -72,7 +83,7 @@ def bench_multistream(n_streams: int, steps: int = 24, chunk: int = 8):
     cfg = tt.TrackerConfig(max_tracks=64, max_detections=32,
                            gallery_size=64, num_labels=4)
     fs = FrameStep(det, enc, cfg, ["person", "car"], (H, W),
-                   FrameStepConfig(encode_capacity=8))
+                   FrameStepConfig(encode_capacity=enc_cap))
     eng = MultiStreamEngine(fs, n_streams=n_streams, mesh=make_mesh(1))
     states = eng.init_states()
 
@@ -114,6 +125,9 @@ def bench_multistream(n_streams: int, steps: int = 24, chunk: int = 8):
         "unit": "frames/s",
         "vs_baseline": round(agg / 1000.0, 3),
         "per_stream_fps": round(chunk / med, 1),
+        "enc_cap": enc_cap,
+        "compile_s": round(compile_s, 1),
+        "cache_hit": compile_s < 5.0,
         "lsap_impl": fs.tracker_cfg.lsap_impl,
     }))
     print(f"# compile={compile_s:.1f}s step_times_s="
@@ -131,16 +145,19 @@ def main():
 
     if "--streams" in sys.argv:
         return bench_multistream(_arg("--streams", 16),
-                                 chunk=_arg("--stream-chunk", 8))
+                                 chunk=_arg("--stream-chunk", 8),
+                                 enc_cap=_arg("--enc-cap", 8))
 
     chunk = _arg("--chunk", 32)
     total_frames = _arg("--frames", 320)
     enc_cap = _arg("--enc-cap", 8)
+    depth = max(1, _arg("--depth", 2))
+    model = _arg("--model", None, str)
     use_yuv = "--rgb" not in sys.argv
     synthetic = "--synthetic" in sys.argv
 
     H, W = 720, 1280
-    det = create_detector("ssd_mobilenet", max_outputs=32)
+    det = create_detector(model or "ssd_mobilenet", max_outputs=32)
     enc = create_box_encoder("mars")
     cfg = tt.TrackerConfig(max_tracks=64, max_detections=32,
                            gallery_size=64, num_labels=4)
@@ -194,20 +211,42 @@ def main():
     jax.block_until_ready(outs.track_id)
     compile_s = time.time() - t0
 
+    # measured transfer ceiling for THIS run: raw put+consume of one chunk
+    # over the tunnel (the e2e wall on this shared pool; the JSON reports
+    # it so the fps-vs-ceiling gap is self-documenting)
+    _consume = jax.jit(lambda x: x.ravel()[:: 4096].astype(np.float32).sum())
+    float(_consume(jax.device_put(first)))          # compile the consumer
+    ttimes = []
+    for _ in range(5):
+        t0 = time.time()
+        float(_consume(jax.device_put(first)))
+        ttimes.append(time.time() - t0)
+    transfer_ceiling_fps = chunk / float(np.median(ttimes))
+
     # ---- decode -> count loop ----
     # The axon TPU tunnel is a shared pool with highly variable queueing,
-    # so report the MEDIAN per-chunk time. Next chunk's decode + H2D copy
-    # overlap device compute (issue order: put -> run -> read).
+    # so report the MEDIAN per-chunk time. `depth` chunks are kept in
+    # flight so the next transfers overlap device compute.
     state = fs.init_state()
     times = []
     overflow = 0
     n_done = 0
-    cur = jax.device_put(first)
-    i = 1
-    nxt_host = next_chunk(i)
-    while n_done < total_frames and cur is not None:
+    from collections import deque
+    q = deque()
+    i = 0
+    while len(q) < depth:
+        host = next_chunk(i)
+        i += 1
+        if host is None:
+            break
+        q.append(jax.device_put(host))
+    while n_done < total_frames and q:
         t0 = time.time()
-        nxt = jax.device_put(nxt_host) if nxt_host is not None else None
+        cur = q.popleft()
+        host = next_chunk(i)
+        i += 1
+        if host is not None:
+            q.append(jax.device_put(host))
         state, outs, snaps = run(state, cur)
         ids = np.asarray(outs.track_id)      # host reads, like the pipeline
         valid = np.asarray(snaps.valid)
@@ -216,9 +255,6 @@ def main():
         if enc_cap:
             overflow += int(valid[:, enc_cap:].sum())
         n_done += chunk
-        cur = nxt
-        i += 1
-        nxt_host = next_chunk(i) if cur is not None else None
     if loader is not None:
         loader.close()
     med = float(np.median(times))
@@ -242,15 +278,20 @@ def main():
     resident_fps = chunk / float(np.median(rtimes))
 
     src = "synthetic" if loader is None else "mp4-native-decode"
+    if model:
+        src += f", weights={os.path.basename(model)}"
     print(json.dumps({
         "metric": "720p offline FPS decode->count (SSD-MobileNet+MARS+"
                   f"DeepSORT fused, chunk={chunk}"
                   f"{', yuv' if use_yuv else ''}, enc_cap={enc_cap}, "
-                  f"src={src}, 1 chip)",
+                  f"depth={depth}, src={src}, 1 chip)",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / 1000.0, 3),
         "device_resident_fps": round(resident_fps, 1),
+        "transfer_ceiling_fps": round(transfer_ceiling_fps, 1),
+        "compile_s": round(compile_s, 1),
+        "cache_hit": compile_s < 5.0,
         "encode_overflow_dets": overflow,
     }))
     print(f"# compile={compile_s:.1f}s frames={n_done} "
