@@ -218,6 +218,45 @@ def test_full_efficientdet_flatbuffer_roundtrip(effdet_tflite):
 
 
 @pytest.mark.timeout(900)
+def test_efficientdet_postprocess_op_configures_detector(effdet_tflite,
+                                                         tmp_path):
+    """Zoo-layout EfficientDet (TFLite_Detection_PostProcess appended, as
+    tools/tflite_object_detector.py:154-172 consumes): the op's normalized
+    anchors, unit decode scales and NMS thresholds must configure the
+    native detector through the registry."""
+    from pp_builder import append_detection_postprocess
+    from deepdish_tpu.models.efficientdet import INPUT_SIZE, generate_anchors
+    from deepdish_tpu.models.registry import create_detector
+
+    anchors = generate_anchors() / float(INPUT_SIZE)   # export convention
+    A = len(anchors)
+    blob = open(effdet_tflite, "rb").read()
+    blob = append_detection_postprocess(
+        blob, anchors, box_shape=(A, 4), score_shape=(A, NC),
+        num_classes=NC, y_scale=1.0, x_scale=1.0, h_scale=1.0, w_scale=1.0,
+        nms_score_threshold=0.4, nms_iou_threshold=0.6, max_detections=25,
+        use_regular_nms=False)
+    path = str(tmp_path / "efficientdet_pp.tflite")
+    with open(path, "wb") as f:
+        f.write(blob)
+
+    pp = cv_mod.read_tflite_postprocess(path)
+    assert pp is not None and pp.scales == (1.0, 1.0, 1.0, 1.0)
+    assert pp.max_detections == 25 and not pp.use_regular_nms
+
+    _, report = cv_mod.load_efficientdet_tflite(path)
+    assert report["assigned"] == report["total"]
+    assert report["anchors_verified"], report.get("anchors_max_abs_diff")
+
+    det = create_detector(path)
+    np.testing.assert_allclose(np.asarray(det.anchors),
+                               anchors * INPUT_SIZE, rtol=1e-5, atol=1e-3)
+    assert det.box_scale == (1.0, 1.0, 1.0, 1.0)
+    assert abs(det.iou_threshold - 0.6) < 1e-6
+    assert abs(det.score_threshold - 0.5) < 1e-6   # max(CLI 0.5, op 0.4)
+
+
+@pytest.mark.timeout(900)
 def test_pipeline_cli_with_efficientdet_flatbuffer(effdet_tflite, tmp_path):
     """tflite-demo.sh analog: `--model <efficientdet .tflite>` through the
     actual CLI pipeline (generic-TFLite detector path, metadata-driven
