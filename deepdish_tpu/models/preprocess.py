@@ -132,7 +132,8 @@ def crop_resize_patches(image, boxes_tlwh, valid, patch_h: int, patch_w: int):
 
 
 def crop_resize_patches_mxu(image, boxes_tlwh, valid, patch_h: int,
-                            patch_w: int, compute_dtype=None):
+                            patch_w: int, compute_dtype=None,
+                            column_window: bool = False):
     """MXU formulation of `crop_resize_patches`: bilinear resampling as two
     per-box sampling-matrix contractions instead of scattered gathers.
 
@@ -152,14 +153,17 @@ def crop_resize_patches_mxu(image, boxes_tlwh, valid, patch_h: int,
     H, W = image.shape[0], image.shape[1]
     target_aspect = float(patch_w) / float(patch_h)
     img = image.astype(compute_dtype)
-    # The aspect correction bounds every crop's WIDTH at
-    # ceil(aspect * H) + 1 (height is clipped to H first), so the column
-    # contraction never needs the whole frame: a per-box dynamic-slice
-    # window of that width carries the entire non-zero support of Wx.
-    # Exact same output, ~W/win_w fewer MACs (3.3x for 720p MARS crops —
-    # the crop was costing more FLOPs than the detector at encode
-    # capacity 32).
-    win_w = min(W, int(np.ceil(target_aspect * H)) + 2)
+    # column_window: the aspect correction bounds every frame-clipped
+    # crop's WIDTH at ceil(aspect * H) + 1, so a per-box dynamic-slice
+    # window of that width carries Wx's entire non-zero support —
+    # bit-identical patches at ~W/win_w fewer MACs (3.3x for 720p MARS
+    # crops). MEASURED NEGATIVE on v5e (docs/BENCH_NOTES.md round 3): the
+    # full-frame einsum lets XLA share one frame read across all box
+    # contractions, and the per-box dynamic slices defeat that sharing
+    # (16-stream step 32.6 -> 37.6 ms). Default OFF; kept for
+    # bandwidth-poor backends and as the recorded experiment.
+    win_w = min(W, int(np.ceil(target_aspect * H)) + 2) \
+        if column_window else W
 
     def one(box, is_valid):
         x, y, w, h = box[0], box[1], box[2], box[3]
@@ -179,17 +183,21 @@ def crop_resize_patches_mxu(image, boxes_tlwh, valid, patch_h: int,
             * cw / patch_w - 0.5
         ys = jnp.clip(ys, sy, jnp.maximum(ey - 1, sy).astype(jnp.float32))
         xs = jnp.clip(xs, sx, jnp.maximum(ex - 1, sx).astype(jnp.float32))
-        x0 = jnp.clip(sx, 0, W - win_w)        # window start; [sx, ex] is
-        imgw = jax.lax.dynamic_slice(           # inside the window for any
-            img, (0, x0, 0), (H, win_w, img.shape[2]))   # frame-clipped box
-        # a box whose RAW height exceeded the frame can overflow the
-        # window (cw > aspect*H); clamp those samples to the window edge
-        # instead of silently losing their 2-tap support
-        xs = jnp.clip(xs, x0.astype(jnp.float32),
-                      (x0 + win_w - 1).astype(jnp.float32))
         rows = jnp.asarray(np.arange(H, dtype=np.float32))
-        cols = x0.astype(jnp.float32) + \
-            jnp.asarray(np.arange(win_w, dtype=np.float32))
+        if column_window:
+            x0 = jnp.clip(sx, 0, W - win_w)    # window start; [sx, ex] is
+            imgw = jax.lax.dynamic_slice(       # inside the window for any
+                img, (0, x0, 0), (H, win_w, img.shape[2]))  # clipped box
+            # a box whose RAW height exceeded the frame can overflow the
+            # window (cw > aspect*H); clamp those samples to the window
+            # edge instead of silently losing their 2-tap support
+            xs = jnp.clip(xs, x0.astype(jnp.float32),
+                          (x0 + win_w - 1).astype(jnp.float32))
+            cols = x0.astype(jnp.float32) + \
+                jnp.asarray(np.arange(win_w, dtype=np.float32))
+        else:
+            imgw = img
+            cols = jnp.asarray(np.arange(W, dtype=np.float32))
         # 2-tap weights built directly in the compute dtype (f32 abs/sub,
         # one cast); exact for the 0/fractional values involved
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(
