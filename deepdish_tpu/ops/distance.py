@@ -40,7 +40,8 @@ def squared_euclidean_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def gallery_min_cosine(gallery: jnp.ndarray, gallery_valid: jnp.ndarray,
                        features: jnp.ndarray,
-                       feat_valid: jnp.ndarray | None = None) -> jnp.ndarray:
+                       feat_valid: jnp.ndarray | None = None,
+                       data_is_normalized: bool = False) -> jnp.ndarray:
     """Nearest-neighbor cosine distance from each track gallery to each
     detection feature.
 
@@ -50,9 +51,15 @@ def gallery_min_cosine(gallery: jnp.ndarray, gallery_valid: jnp.ndarray,
     Returns (T, D): min over valid gallery entries of cosine distance;
     tracks with an empty gallery get +inf. Equivalent to
     nn_matching.py:78-96 + 156-177 but as one MXU batched matmul.
+
+    data_is_normalized=True skips the row normalizations. The tracker
+    stores gallery rows pre-normalized (features are unit-normalized once
+    at insert), because re-normalizing the whole (T, G, F) gallery every
+    frame was the single largest HBM fusion in the device profile (~9% of
+    the fused step).
     """
-    g = _normalize(gallery)
-    f = _normalize(features)
+    g = gallery if data_is_normalized else _normalize(gallery)
+    f = features if data_is_normalized else _normalize(features)
     # (T, G, D)
     sims = jnp.einsum("tgf,df->tgd", g, f,
                       preferred_element_type=jnp.float32)

@@ -38,7 +38,17 @@ def load_state(path: str, template: PipelineState):
     template (same capacities/config)."""
     import jax.numpy as jnp
     with np.load(path) as f:
-        table = tt.TrackTable(*[jnp.asarray(f[f"table/{n}"])
+        loaded = {n: f[f"table/{n}"] for n in tt.TrackTable._fields}
+        # The tracker stores appearance rows unit-normalized (so the
+        # per-frame cosine distance can skip re-normalizing the whole
+        # gallery). Normalizing here is idempotent for new checkpoints and
+        # upgrades pre-normalization checkpoints that stored raw features.
+        for key in ("gallery", "pending"):
+            arr = loaded[key].astype(np.float32, copy=False)
+            n = np.linalg.norm(arr, axis=-1, keepdims=True)
+            loaded[key] = (arr / np.where(n == 0.0, 1.0, n)
+                           ).astype(loaded[key].dtype)
+        table = tt.TrackTable(*[jnp.asarray(loaded[n])
                                 for n in tt.TrackTable._fields])
         bg = None
         if template.bg is not None and "bg/weight" in f.files:

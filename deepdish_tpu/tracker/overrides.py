@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from ..ops import boxes as boxops
 from ..ops import kalman
+from ..ops.distance import _normalize as _normalize_rows
 from .types import CONFIRMED, EMPTY, Detections, TrackTable, TrackerConfig
 
 
@@ -49,7 +50,7 @@ def force_update_slots(cfg: TrackerConfig, table: TrackTable,
         (do[:, None] &
          (jnp.arange(P, dtype=jnp.int32)[None, :] == pslot[:, None])
          )[:, :, None],
-        dets.feature[mdet][:, None, :], table.pending)
+        _normalize_rows(dets.feature[mdet])[:, None, :], table.pending)
     pending_count = jnp.minimum(table.pending_count + do.astype(jnp.int32),
                                 P)
 

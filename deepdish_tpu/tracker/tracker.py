@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ..ops import boxes as boxops
 from ..ops import kalman
+from ..ops.distance import _normalize as _normalize_rows
 from ..ops.distance import gallery_min_cosine
 from ..ops.onehot import (gather_1d, gather_rows, scatter_rows_unique,
                           stable_argsort)
@@ -56,10 +57,15 @@ def step(cfg: TrackerConfig, table: TrackTable, dets: Detections):
     tsu = table.time_since_update + live.astype(jnp.int32)
 
     # ---- cost matrices, once per frame ----
+    # Features are unit-normalized ONCE here and stored normalized in
+    # pending/gallery, so the appearance distance never has to
+    # re-normalize the whole (T, G, F) gallery per frame (cosine distance
+    # is invariant; nn_matching.py normalizes on every query instead).
+    feat_n = _normalize_rows(dets.feature)
     det_xyah = boxops.tlwh_to_xyah(dets.tlwh)
     app = gallery_min_cosine(
         table.gallery, _gallery_valid(cfg, table.gallery_count) &
-        live[:, None], dets.feature)
+        live[:, None], feat_n, data_is_normalized=True)
     app = jnp.where(jnp.isfinite(app), app, INFTY_COST)
     gate = kalman.gating_distance_v(mean, cov, det_xyah)
     app = jnp.where(gate > cfg.gating_threshold, INFTY_COST, app)
@@ -101,7 +107,7 @@ def step(cfg: TrackerConfig, table: TrackTable, dets: Detections):
         (was_matched[:, None] &
          (jnp.arange(P, dtype=jnp.int32)[None, :] == pslot[:, None])
          )[:, :, None],
-        gather_rows(dets.feature, mdet)[:, None, :], table.pending)
+        gather_rows(feat_n, mdet)[:, None, :], table.pending)
     pending_count = jnp.minimum(
         table.pending_count + was_matched.astype(jnp.int32), P)
 
@@ -170,7 +176,7 @@ def step(cfg: TrackerConfig, table: TrackTable, dets: Detections):
                                      dtype=label_conf.dtype) *
                       dets.confidence[:, None])
     pend0 = jnp.zeros((D, P, cfg.feature_dim), pending.dtype
-                      ).at[:, 0, :].set(dets.feature)
+                      ).at[:, 0, :].set(feat_n)
     pending = scat(pending, pend0)
     pending_count = scat(pending_count, jnp.ones((D,), jnp.int32))
     gallery_count = scat(gallery_count, jnp.zeros((D,), jnp.int32))
