@@ -107,13 +107,19 @@ def bench_multistream(n_streams: int, steps: int = 24, chunk: int = 8,
     jax.block_until_ready(outs.track_id)
     compile_s = time.time() - t0
 
-    reps = 8
+    # Timing: each round issues `reps` dispatches (sequentially dependent
+    # through the carried tracker states) and ends with a FORCED HOST FETCH
+    # of the last output. On the axon relay, block_until_ready alone can
+    # return before remote completion when the dispatch queue absorbs the
+    # whole round (docs/BENCH_NOTES.md "relay timing pitfall"); the fetch
+    # of a result that depends on every prior dispatch cannot.
+    reps = 16
     times = []
-    for _ in range(max(1, steps // reps)):
+    for _ in range(3):
         t0 = time.time()
         for _ in range(reps):
             states, outs, snaps = eng.step_chunk(states, frames_dev)
-        jax.block_until_ready(outs.track_id)
+        _ = np.asarray(outs.track_id)
         times.append((time.time() - t0) / reps)
     med = float(np.median(times))
     agg = n_streams * chunk / med
@@ -265,15 +271,19 @@ def main():
     # Pipelined timing: issue several dispatches back-to-back and block
     # once — per-dispatch tunnel/queue latency amortizes exactly as it does
     # in the steady-state pipeline, leaving pure device time.
+    # Each round's dispatches are sequentially dependent through `state`,
+    # and the round ends with a forced host fetch: block_until_ready alone
+    # can return early on the axon relay when its dispatch queue absorbs a
+    # short round (docs/BENCH_NOTES.md "relay timing pitfall").
     resident = jax.device_put(first)
     jax.block_until_ready(resident)
-    reps = 8
+    reps = 16
     rtimes = []
     for _ in range(3):
         t0 = time.time()
         for _ in range(reps):
             state, outs, snaps = run(state, resident)
-        jax.block_until_ready(outs.track_id)
+        _ = np.asarray(outs.track_id)
         rtimes.append((time.time() - t0) / reps)
     resident_fps = chunk / float(np.median(rtimes))
 

@@ -11,10 +11,13 @@ import time
 import numpy as np
 
 
-def med_time(fn, *args, reps=7):
-    """Pipelined timing: issue `reps` dispatches back-to-back and block
-    once at the end, so per-dispatch tunnel/queue overhead amortizes and
-    the number approaches pure device time. Repeated 3x, median taken."""
+def med_time(fn, *args, reps=32):
+    """Pipelined timing: issue `reps` dispatches back-to-back, then FORCE
+    A HOST FETCH of the last output (a bare block_until_ready can return
+    before remote completion on the axon relay when its dispatch queue
+    absorbs a short round — docs/BENCH_NOTES.md "relay timing pitfall").
+    Per-dispatch tunnel/queue overhead amortizes, leaving device time.
+    Repeated 3x, median taken."""
     import jax
     out = fn(*args)            # compile
     jax.block_until_ready(jax.tree.leaves(out)[0])
@@ -23,7 +26,7 @@ def med_time(fn, *args, reps=7):
         t0 = time.time()
         for _ in range(reps):
             out = fn(*args)
-        jax.block_until_ready(jax.tree.leaves(out)[0])
+        _ = np.asarray(jax.tree.leaves(out)[0])
         meds.append((time.time() - t0) / reps)
     return float(np.median(meds)), out
 
@@ -40,7 +43,7 @@ def main():
     chunk = int(sys.argv[sys.argv.index("--chunk") + 1]) \
         if "--chunk" in sys.argv else 32
     reps = int(sys.argv[sys.argv.index("--reps") + 1]) \
-        if "--reps" in sys.argv else 7
+        if "--reps" in sys.argv else 32
 
     H, W = 720, 1280
     det = create_detector("ssd_mobilenet", max_outputs=32)

@@ -9,10 +9,14 @@ import time
 import numpy as np
 
 
-def bench(label, fn, *args, reps=9):
-    """Pipelined timing (issue reps dispatches, block once) x3, median —
-    amortizes the shared pool's per-dispatch queueing like the steady-state
-    pipeline does."""
+def bench(label, fn, *args, reps=32):
+    """Pipelined timing x3, median: issue `reps` dispatches back-to-back,
+    then FORCE A HOST FETCH of the last output. On the axon relay a bare
+    block_until_ready can return before remote completion when the
+    dispatch queue absorbs a short round (docs/BENCH_NOTES.md "relay
+    timing pitfall"); fetching the final result (FIFO execution) cannot.
+    The pool's per-dispatch queueing amortizes like the steady-state
+    pipeline."""
     import jax
     out = fn(*args)
     jax.block_until_ready(jax.tree.leaves(out)[0])
@@ -21,7 +25,7 @@ def bench(label, fn, *args, reps=9):
         t0 = time.time()
         for _ in range(reps):
             out = fn(*args)
-        jax.block_until_ready(jax.tree.leaves(out)[0])
+        _ = np.asarray(jax.tree.leaves(out)[0])
         meds.append((time.time() - t0) / reps)
     print(f"  {label:44s} {1000 * float(np.median(meds)):8.3f} ms")
     return float(np.median(meds))
@@ -35,7 +39,7 @@ def main():
     enable_compilation_cache()
 
     reps = int(sys.argv[sys.argv.index("--reps") + 1]) \
-        if "--reps" in sys.argv else 9
+        if "--reps" in sys.argv else 32
     only = (sys.argv[sys.argv.index("--only") + 1].split(",")
             if "--only" in sys.argv else ["ssd", "mars", "trk"])
 
