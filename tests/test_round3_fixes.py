@@ -150,3 +150,45 @@ def test_checkpoint_restores_after_gallery_growth(tmp_path):
     assert p2.frame_count == 55
     assert int(np.asarray(p2.state.table.next_id)) == 17
     assert p2.counting.counters_payload()["poscount_person"] == 7
+
+
+# --------------------------------------------- gallery pre-normalization
+
+def test_checkpoint_upgrades_raw_feature_galleries(tmp_path):
+    """The tracker stores appearance rows unit-normalized (so the cosine
+    distance skips re-normalizing the (T, G, F) gallery every frame).
+    load_state must normalize gallery/pending rows, which upgrades
+    checkpoints written before that change (raw features) and is a no-op
+    for current ones."""
+    from deepdish_tpu.pipeline.checkpoint import load_state
+
+    cfg = tt.TrackerConfig(max_tracks=4, max_detections=4, gallery_size=3,
+                           num_labels=2, feature_dim=8)
+    table = tt.create_table(cfg)
+    rng = np.random.RandomState(0)
+    raw_gal = rng.uniform(-2.0, 2.0, (4, 3, 8)).astype(np.float32)
+    raw_gal[2, 1] = 0.0                      # empty slot stays zero
+    raw_pen = rng.uniform(-2.0, 2.0,
+                          np.asarray(table.pending).shape
+                          ).astype(np.float32)
+    old_style = table._replace(gallery=raw_gal, pending=raw_pen)
+    save_state(str(tmp_path / "old.ckpt"), PipelineState(old_style, None),
+               {}, 3)
+
+    state, _, _ = load_state(str(tmp_path / "old.ckpt"),
+                             PipelineState(table, None))
+    gal = np.asarray(state.table.gallery)
+    norms = np.linalg.norm(gal, axis=-1)
+    assert np.allclose(norms[norms > 0], 1.0, atol=1e-6)
+    assert np.all(gal[2, 1] == 0.0)
+    # direction preserved
+    got = gal[0, 0]
+    want = raw_gal[0, 0] / np.linalg.norm(raw_gal[0, 0])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # idempotent for already-normalized checkpoints
+    save_state(str(tmp_path / "new.ckpt"), PipelineState(state.table, None),
+               {}, 3)
+    state2, _, _ = load_state(str(tmp_path / "new.ckpt"),
+                              PipelineState(table, None))
+    np.testing.assert_allclose(np.asarray(state2.table.gallery), gal,
+                               rtol=1e-6)
