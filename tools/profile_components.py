@@ -26,7 +26,9 @@ def med_time(fn, *args, reps=32):
         t0 = time.time()
         for _ in range(reps):
             out = fn(*args)
-        _ = np.asarray(jax.tree.leaves(out)[0])
+        # 1-element fetch: forces completion of the whole FIFO queue
+        # without shipping the (possibly huge) output over the tunnel.
+        _ = np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
         meds.append((time.time() - t0) / reps)
     return float(np.median(meds)), out
 

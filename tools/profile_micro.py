@@ -25,7 +25,9 @@ def bench(label, fn, *args, reps=32):
         t0 = time.time()
         for _ in range(reps):
             out = fn(*args)
-        _ = np.asarray(jax.tree.leaves(out)[0])
+        # 1-element fetch: forces completion of the whole FIFO queue
+        # without shipping the (possibly huge) output over the tunnel.
+        _ = np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
         meds.append((time.time() - t0) / reps)
     print(f"  {label:44s} {1000 * float(np.median(meds)):8.3f} ms")
     return float(np.median(meds))
