@@ -8,7 +8,7 @@ SSD-MobileNetV1, decode/NMS, crop+MARS embed, full Deep SORT tracker scan)
 
 Options:
   --chunk N     frames per dispatch (default 32)
-  --frames N    total frames to process (default 320)
+  --frames N    total frames to process (default 640)
   --enc-cap E   appearance-encode capacity per frame (default 8; 0 = every
                 detection slot). Reported overflow is the number of
                 detections past the capacity (0 on this scene).
@@ -155,7 +155,7 @@ def main():
                                  enc_cap=_arg("--enc-cap", 8))
 
     chunk = _arg("--chunk", 32)
-    total_frames = _arg("--frames", 320)
+    total_frames = _arg("--frames", 640)
     enc_cap = _arg("--enc-cap", 8)
     depth = max(1, _arg("--depth", 2))
     model = _arg("--model", None, str)
@@ -176,10 +176,14 @@ def main():
     if not synthetic:
         try:
             from deepdish_tpu.utils.native import NativeFrameLoader
+            # enough frames that EOF doesn't drain the depth-queue before
+            # total_frames are measured (file name carries the length so a
+            # stale shorter video from an earlier config isn't reused)
+            n_video = total_frames + (depth + 1) * chunk
             video = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 ".bench_video.mp4")
+                                 f".bench_video_{n_video}.mp4")
             if not os.path.exists(video):
-                make_video(video, max(total_frames, 320), H, W)
+                make_video(video, n_video, H, W)
             loader = NativeFrameLoader([video], W, H, yuv420=use_yuv)
         except (RuntimeError, OSError) as e:
             print(f"# native loader unavailable ({e}); falling back to "
