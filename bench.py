@@ -60,8 +60,7 @@ def make_video(path, n_frames, h, w):
     wr.release()
 
 
-def bench_multistream(n_streams: int, steps: int = 24, chunk: int = 8,
-                      enc_cap: int = 8):
+def bench_multistream(n_streams: int, chunk: int = 8, enc_cap: int = 8):
     """BASELINE.json config 5: N concurrent 720p streams on one chip, one
     SPMD dispatch per step (vmapped fused program; the Pallas JV kernel
     batches over streams via its custom_vmap grid rule). Each dispatch
@@ -264,9 +263,11 @@ def main():
         if host is not None:
             q.append(jax.device_put(host))
         state, outs, snaps = run(state, cur)
-        ids = np.asarray(outs.track_id)      # host reads, like the pipeline
+        # host reads, like the pipeline; the fetch is also what
+        # synchronizes (block_until_ready alone is not trustworthy on the
+        # relay — docs/BENCH_NOTES.md)
+        ids = np.asarray(outs.track_id)
         valid = np.asarray(snaps.valid)
-        jax.block_until_ready(outs.track_id)
         times.append(time.time() - t0)
         if enc_cap:
             overflow += int(valid[:, enc_cap:].sum())

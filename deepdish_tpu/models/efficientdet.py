@@ -231,7 +231,7 @@ class EfficientDetLite0Detector:
                  top_k: int = 100, score_threshold: float = 0.5,
                  iou_threshold: float = 0.5, compute_dtype=jnp.bfloat16,
                  norm_mean=(127.0,), norm_std=(128.0,),
-                 anchors=None, box_scale=None):
+                 anchors=None, box_scale=None, detections_cap=None):
         self.width = self.height = INPUT_SIZE
         self.net = EfficientDetLite0(compute_dtype=compute_dtype,
                                      norm_mean=tuple(norm_mean),
@@ -251,6 +251,9 @@ class EfficientDetLite0Detector:
         self.top_k = top_k
         self.score_threshold = score_threshold
         self.iou_threshold = iou_threshold
+        # a fused postprocess op's max_detections: slots past it are
+        # invalidated (shape stays max_outputs for the pipeline programs)
+        self.detections_cap = detections_cap
 
     def detect(self, params, image_resized, orig_w, orig_h):
         box_enc, logits = self.net.apply(params, image_resized)
@@ -278,8 +281,12 @@ class EfficientDetLite0Detector:
         keep_key = jnp.where(keep, jnp.arange(self.top_k, dtype=jnp.int32),
                              jnp.int32(self.top_k))
         order = jnp.argsort(keep_key, stable=True)[:K]
+        valid = keep[order]
+        if self.detections_cap is not None and self.detections_cap < K:
+            # descending-score slots: keep exactly what the fused op emits
+            valid = valid & (np.arange(K) < self.detections_cap)
         return (xyxy[order], top_classes[order], top_scores[order],
-                keep[order])
+                valid)
 
     @functools.partial(jax.jit, static_argnums=0)
     def detect_jit(self, image_resized, orig_w, orig_h):

@@ -142,13 +142,16 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
                              " (use models.registry.register_script)")
         return ScriptedDetector(script, wanted_labels=wanted_labels)
     extras = {}
-    if params is None and model_name and os.path.exists(model_name):
+    if params is None and model_name and os.path.isfile(model_name):
+        # 'edgetpu' names are Coral SSD exports (deepdish.py:483-485), so
+        # they count as SSD here and in the dispatch below.
         family = ("yolov5" if "yolov5" in name else
                   "yolov3" if "yolo" in name else
                   "efficientdet" if ("efficientdet" in name
                                      or ("tflite" in name
                                          and "ssd" not in name
-                                         and "mobilenet" not in name)) else
+                                         and "mobilenet" not in name
+                                         and "edgetpu" not in name)) else
                   "ssd")
         try:
             params, extras = _load_real_weights(model_name, family)
@@ -164,6 +167,20 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
             print(f"weight conversion failed for {model_name} ({e}); "
                   "running with random-init weights")
             params = None
+        if params is None:
+            # the file exists but no converter recognizes it (e.g. a .pb,
+            # or an .h5 for a non-yolov3 family) — same fail-loudly
+            # contract as a conversion error
+            if not allow_random_weights:
+                raise ValueError(
+                    f"{model_name} is not a loadable weight artifact for "
+                    f"inferred family {family!r} (supported: .tflite, "
+                    ".npz, yolov3 .h5). Convert offline with `python -m "
+                    "deepdish_tpu.models.convert` or pass "
+                    "--allow-random-weights to run without pre-trained "
+                    "weights.")
+            print(f"{model_name} not recognized as a weight artifact; "
+                  "running with random-init weights")
     pp = extras.get("postprocess")
     if "saved_model" in name and model_name and os.path.isdir(model_name):
         # SavedModel DIRECTORY (deepdish.py:489 'saved_model' substring):
@@ -200,7 +217,10 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
         det.labels = {i: n for i, n in enumerate(load_labels(label_file))}
         det.label_offset = 0
         return det
-    if "efficientdet" in name or name.endswith(".tflite") and "ssd" not in name:
+    if "efficientdet" in name or (name.endswith(".tflite")
+                                  and "ssd" not in name
+                                  and "mobilenet" not in name
+                                  and "edgetpu" not in name):
         # metadata-driven configuration like the reference's generic TFLite
         # detector (tools/tflite_object_detector.py:117-137): normalization
         # mean/std and packed labels come from the flatbuffer when present
@@ -224,7 +244,11 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
                 box_scale=pp.scales,
                 score_threshold=max(score_threshold,
                                     pp.nms_score_threshold),
-                iou_threshold=pp.nms_iou_threshold)
+                iou_threshold=pp.nms_iou_threshold,
+                # the op emits at most max_detections boxes; slots past
+                # that are invalidated so the reference sees the same set
+                # from this file (tools/tflite_object_detector.py:154-172)
+                detections_cap=pp.max_detections)
         det = EfficientDetLite0Detector(params=params,
                                         max_outputs=max_outputs,
                                         norm_mean=meta["mean"],
@@ -245,7 +269,14 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
                 anchors=pp.anchors, box_scale=pp.scales,
                 score_threshold=max(score_threshold,
                                     pp.nms_score_threshold),
-                iou_threshold=pp.nms_iou_threshold)
+                iou_threshold=pp.nms_iou_threshold,
+                # the op emits at most max_detections boxes — invalidate
+                # slots past that so the pipeline sees the same set the
+                # reference gets from this file (ssd_mobilenet.py:100-127).
+                # The op's fast NMS is class-agnostic; the pipeline's own
+                # class-agnostic NMS (deepdish.py:995) covers that stage
+                # downstream.
+                detections_cap=pp.max_detections)
         det = SSDMobileNetDetector(params=params, max_outputs=max_outputs,
                                    **det_kw)
         # +1 labelmap offset applied by the reference adaptor

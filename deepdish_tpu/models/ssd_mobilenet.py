@@ -168,7 +168,7 @@ class SSDMobileNetDetector:
                  top_k: int = 100, score_threshold: float = 0.5,
                  iou_threshold: float = 0.5,
                  compute_dtype=jnp.bfloat16,
-                 anchors=None, box_scale=None):
+                 anchors=None, box_scale=None, detections_cap=None):
         self.width = self.height = INPUT_SIZE
         self.net = SSDMobileNetV1(compute_dtype=compute_dtype)
         if params is None:
@@ -185,6 +185,10 @@ class SSDMobileNetDetector:
         self.top_k = top_k
         self.score_threshold = score_threshold
         self.iou_threshold = iou_threshold
+        # a fused postprocess op's max_detections: the interpreter emits at
+        # most this many boxes from such a file, so slots past it are
+        # invalidated (shape stays max_outputs for the pipeline programs)
+        self.detections_cap = detections_cap
 
     def detect(self, params, image_resized, orig_w, orig_h):
         """image_resized: (300, 300, 3) float/uint8. Returns fixed-capacity
@@ -222,6 +226,10 @@ class SSDMobileNetDetector:
                              jnp.int32(k))
         order = stable_argsort(keep_key)[:K]
         valid = gather_1d(keep, order)
+        if self.detections_cap is not None and self.detections_cap < K:
+            # slots are in descending-score order, so this keeps exactly
+            # the boxes the fused op would have emitted
+            valid = valid & (np.arange(K) < self.detections_cap)
         return (gather_rows(xyxy, order), gather_1d(top_classes, order),
                 gather_1d(top_scores, order), valid)
 

@@ -115,9 +115,15 @@ def update(state: MOG2State, frame, detect_shadows: bool = True):
         shadow_fit = (may_vote & (ratio >= SHADOW_TAU) & (ratio <= 1.0)
                       & (cdist2 < TB * var))
         is_shadow = (~background) & jnp.any(shadow_fit, axis=-1)
-        # cv2 quirk: on the very first frame (no components yet) every
-        # pixel comes back 127, not 255
-        is_shadow = is_shadow | (state.frames == 0)
+        # cv2 quirk: on the very first frame (no components yet) the
+        # shadow test runs against the component just created from the
+        # pixel itself (ratio exactly 1 -> shadow), so nearly every pixel
+        # comes back 127 — EXCEPT pure-black pixels, where cv2's
+        # detectShadowGMM divides by mean.mean == 0, hits its "no division
+        # by zero allowed" guard and returns foreground (255).
+        first_frame_shadow = (state.frames == 0) & \
+            (jnp.sum(x * x, axis=-1) > 0.0)
+        is_shadow = is_shadow | first_frame_shadow
         mask = jnp.where(is_shadow, SHADOW_VAL, mask).astype(jnp.uint8)
 
     # no fit -> new component in the weakest slot (K-1; list is sorted)

@@ -708,8 +708,7 @@ class Pipeline:
             # live mode: never rebuild the fused program mid-stream (the
             # gallery was pre-sized in __init__); warn once when the ring
             # starts reusing
-            if not getattr(self, '_gallery_capped_warned', False) and \
-                    tt.gallery_overflow(self.tracker_cfg, self.state.table):
+            if tt.gallery_overflow(self.tracker_cfg, self.state.table):
                 self._gallery_capped_warned = True
                 print('Live mode: appearance gallery ring reuse began '
                       f'(size {self.tracker_cfg.gallery_size}); oldest '

@@ -105,3 +105,17 @@ def test_motion_ratio_decisions_match_cv2(rng):
         # the object box must be accepted by BOTH in steady state
         assert d1[0] and d2[0], f"frame {i}: object box rejected {d1} {d2}"
     assert mismatches == 0, f"{mismatches}/{checks} gate decisions diverge"
+
+
+def test_first_frame_black_pixels_match_cv2(rng):
+    """cv2's frame-1 mask is 127 everywhere EXCEPT pure-black pixels,
+    where detectShadowGMM's division-by-zero guard returns 255."""
+    f = rng.randint(30, 200, size=(32, 32, 3)).astype(np.uint8)
+    f[4:12, 4:12] = 0                     # pure-black region
+    theirs = cv2.createBackgroundSubtractorMOG2()
+    m2 = theirs.apply(f)
+    state = bgsub.init_state(32, 32)
+    _, m1 = bgsub.update_jit(state, jnp.asarray(f))
+    m1 = np.asarray(m1)
+    assert (m2[4:12, 4:12] == 255).all(), "cv2 contract changed?"
+    np.testing.assert_array_equal(m1, m2)

@@ -192,3 +192,45 @@ def test_checkpoint_upgrades_raw_feature_galleries(tmp_path):
                               PipelineState(table, None))
     np.testing.assert_allclose(np.asarray(state2.table.gallery), gal,
                                rtol=1e-6)
+
+
+def test_unrecognized_weight_suffix_fails_loudly(tmp_path):
+    """A file with no matching converter (e.g. a .pb) must raise, not
+    silently run random-init (same contract as a conversion failure)."""
+    pb = tmp_path / "frozen_ssd.pb"
+    pb.write_bytes(b"\x00" * 64)
+    with pytest.raises(ValueError, match="not a loadable weight artifact"):
+        create_detector(str(pb))
+    det = create_detector(str(pb), allow_random_weights=True)
+    assert det.width == 300
+
+
+def test_mobilenet_named_tflite_routes_to_ssd(tmp_path):
+    """'mobilenet' (and 'edgetpu') .tflite names must hit the SSD branch in
+    BOTH family inference and detector dispatch — a mismatch builds an
+    EfficientDet detector around SSD-shaped params."""
+    from deepdish_tpu.models.ssd_mobilenet import SSDMobileNetDetector
+    for stem in ("mobilenet_v1_coco", "detect_edgetpu"):
+        bad = tmp_path / f"{stem}.tflite"
+        bad.write_bytes(b"\x00garbage" * 64)
+        det = create_detector(str(bad), allow_random_weights=True)
+        assert isinstance(det, SSDMobileNetDetector), stem
+
+
+def test_postprocess_op_max_detections_caps_valid_slots():
+    """A fused op's max_detections invalidates slots past it while keeping
+    the detector's slot shape (the pipeline's programs are sized by
+    max_outputs)."""
+    import numpy as np
+    from deepdish_tpu.models.ssd_mobilenet import SSDMobileNetDetector
+    det = create_detector("ssd_mobilenet", max_outputs=16,
+                          score_threshold=0.0)
+    capped = SSDMobileNetDetector(params=det.params, max_outputs=16,
+                                  score_threshold=0.0, detections_cap=4)
+    img = np.zeros((300, 300, 3), np.float32)
+    b1, c1, s1, v1 = det.detect_jit(img, 640.0, 480.0)
+    b2, c2, s2, v2 = capped.detect_jit(img, 640.0, 480.0)
+    assert v1.shape == v2.shape == (16,)
+    assert not np.any(np.asarray(v2)[4:])
+    np.testing.assert_array_equal(np.asarray(v2)[:4], np.asarray(v1)[:4])
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b1))

@@ -5,32 +5,13 @@ Times, on the real TPU (medians over repeats, device-resident inputs):
 
 Usage: python tools_profile_components.py [--chunk 32] [--reps 7]
 """
+import os
 import sys
-import time
 
 import numpy as np
 
-
-def med_time(fn, *args, reps=32):
-    """Pipelined timing: issue `reps` dispatches back-to-back, then FORCE
-    A HOST FETCH of the last output (a bare block_until_ready can return
-    before remote completion on the axon relay when its dispatch queue
-    absorbs a short round — docs/BENCH_NOTES.md "relay timing pitfall").
-    Per-dispatch tunnel/queue overhead amortizes, leaving device time.
-    Repeated 3x, median taken."""
-    import jax
-    out = fn(*args)            # compile
-    jax.block_until_ready(jax.tree.leaves(out)[0])
-    meds = []
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(reps):
-            out = fn(*args)
-        # 1-element fetch: forces completion of the whole FIFO queue
-        # without shipping the (possibly huge) output over the tunnel.
-        _ = np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
-        meds.append((time.time() - t0) / reps)
-    return float(np.median(meds)), out
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import med_time
 
 
 def main():

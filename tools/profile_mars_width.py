@@ -10,30 +10,15 @@ schedule, so the timing transfers).
 Usage: PYTHONPATH=/root/repo:/root/.axon_site \
     python tools/profile_mars_width.py [--batch 256] [--reps 7]
 """
+import os
 import sys
 import time
 from typing import Any
 
 import numpy as np
 
-
-def med_time(fn, *args, reps=32):
-    """Forced host fetch at the end of each round: a bare
-    block_until_ready can return before remote completion on the axon
-    relay (docs/BENCH_NOTES.md "relay timing pitfall")."""
-    import jax
-    out = fn(*args)
-    jax.block_until_ready(jax.tree.leaves(out)[0])
-    meds = []
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(reps):
-            out = fn(*args)
-        # 1-element fetch: forces completion of the whole FIFO queue
-        # without shipping the (possibly huge) output over the tunnel.
-        _ = np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
-        meds.append((time.time() - t0) / reps)
-    return float(np.median(meds))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import med_time
 
 
 def build_variant(stage1: int, stage2: int, stage3: int):
@@ -114,7 +99,7 @@ def main():
         t0 = time.time()
         _ = jax.block_until_ready(fwd(params, x))
         compile_s = time.time() - t0
-        t = med_time(fwd, params, x, reps=reps)
+        t, _ = med_time(fwd, params, x, reps=reps)
         us_per_crop = t / batch * 1e6
         results.append((name, t, us_per_crop))
         print(f"{name}: {t*1e3:.2f} ms/batch = {us_per_crop:.2f} us/crop "

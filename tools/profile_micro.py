@@ -3,34 +3,20 @@ activation/dtype variants, tracker-step internals, LSAP solvers, argsort.
 
 Usage: python tools_profile_micro.py [--reps 9] [--only ssd,mars,trk]
 """
+import os
 import sys
-import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import med_time
+
 
 def bench(label, fn, *args, reps=32):
-    """Pipelined timing x3, median: issue `reps` dispatches back-to-back,
-    then FORCE A HOST FETCH of the last output. On the axon relay a bare
-    block_until_ready can return before remote completion when the
-    dispatch queue absorbs a short round (docs/BENCH_NOTES.md "relay
-    timing pitfall"); fetching the final result (FIFO execution) cannot.
-    The pool's per-dispatch queueing amortizes like the steady-state
-    pipeline."""
-    import jax
-    out = fn(*args)
-    jax.block_until_ready(jax.tree.leaves(out)[0])
-    meds = []
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(reps):
-            out = fn(*args)
-        # 1-element fetch: forces completion of the whole FIFO queue
-        # without shipping the (possibly huge) output over the tunnel.
-        _ = np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
-        meds.append((time.time() - t0) / reps)
-    print(f"  {label:44s} {1000 * float(np.median(meds)):8.3f} ms")
-    return float(np.median(meds))
+    """Relay-safe pipelined timing (tools/_timing.py), labeled print."""
+    t, _ = med_time(fn, *args, reps=reps)
+    print(f"  {label:44s} {1000 * t:8.3f} ms")
+    return t
 
 
 def main():
