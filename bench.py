@@ -14,8 +14,10 @@ Options:
                 detections past the capacity (0 on this scene).
   --depth D     host->device transfer depth: keep D chunks in flight
                 (default 2) so the tunnel transfer overlaps device compute
-  --model FILE  a real .tflite flatbuffer to convert and run (same program
-                as random-init; proves converter + perf compose)
+  --model X     a real .tflite flatbuffer to convert and run (same program
+                as random-init; proves converter + perf compose), or a bare
+                family name (yolov5 / yolov3 / efficientdet) to bench that
+                detector family random-init
   --synthetic   skip the mp4/loader and feed in-memory frames (old mode)
   --rgb         RGB transport instead of I420
 
@@ -162,7 +164,18 @@ def main():
     synthetic = "--synthetic" in sys.argv
 
     H, W = 720, 1280
+    # --model takes a weight file (converted through the registry) OR a
+    # bare family name (yolov5 / yolov3 / efficientdet / ssd_mobilenet,
+    # random-init) so every detector family's throughput is benchable
     det = create_detector(model or "ssd_mobilenet", max_outputs=32)
+    fam = (model or "ssd_mobilenet").lower()
+    family = ("YOLOv5s" if "yolov5" in fam else
+              "YOLOv3" if "yolo" in fam else
+              "EfficientDet-Lite0" if ("efficientdet" in fam or
+                                       ("tflite" in fam and "ssd" not in fam
+                                        and "mobilenet" not in fam
+                                        and "edgetpu" not in fam)) else
+              "SSD-MobileNet")
     enc = create_box_encoder("mars")
     cfg = tt.TrackerConfig(max_tracks=64, max_detections=32,
                            gallery_size=64, num_labels=4)
@@ -302,7 +315,7 @@ def main():
     if model:
         src += f", weights={os.path.basename(model)}"
     print(json.dumps({
-        "metric": "720p offline FPS decode->count (SSD-MobileNet+MARS+"
+        "metric": f"720p offline FPS decode->count ({family}+MARS+"
                   f"DeepSORT fused, chunk={chunk}"
                   f"{', yuv' if use_yuv else ''}, enc_cap={enc_cap}, "
                   f"depth={depth}, src={src}, 1 chip)",
