@@ -1366,6 +1366,158 @@ def load_ssd_saved_model(path: str):
     return convert_ssd_tfod(tensors)
 
 
+def convert_faster_rcnn_tfod(tensors: Dict[str, np.ndarray], net=None,
+                             input_size: int = 640, strict: bool = True):
+    """Name-map conversion for TF-OD faster_rcnn_resnet_v1 exports (the
+    reference's SAVED_MODEL default family, tools/saved_model.py:13).
+
+    The architecture is INFERRED from the checkpoint: resnet depth (unit
+    counts per block), stem/block widths, RPN depth and class count all
+    come from the variable names/shapes, so resnet50/101/152 variants bind
+    without configuration. Expects the TF1 export_inference_graph naming:
+    FirstStageFeatureExtractor/resnet_v1_N/..., Conv (the RPN 3x3),
+    FirstStageBoxPredictor/{BoxEncodingPredictor,ClassPredictor},
+    SecondStageFeatureExtractor/resnet_v1_N/block4/...,
+    SecondStageBoxPredictor/{BoxEncodingPredictor,ClassPredictor}.
+    Returns (variables, report)."""
+    from .faster_rcnn import FasterRCNNConfig, FasterRCNNNet
+
+    rv = None
+    for n in tensors:
+        m = re.match(r"FirstStageFeatureExtractor/(resnet_v1_\d+)/"
+                     r"conv1/weights$", n)
+        if m:
+            rv = m.group(1)
+            break
+    if rv is None:
+        raise ValueError(
+            "not a TF-OD faster_rcnn_resnet_v1 export: no "
+            "FirstStageFeatureExtractor/resnet_v1_N/conv1/weights variable")
+
+    def block_prefix(b):
+        stage = ("FirstStageFeatureExtractor" if b <= 3
+                 else "SecondStageFeatureExtractor")
+        return f"{stage}/{rv}/block{b}"
+
+    units, feats = [], []
+    for b in range(1, 5):
+        pre = block_prefix(b)
+        us = {int(m.group(1)) for n in tensors
+              for m in [re.match(rf"{pre}/unit_(\d+)/", n)] if m}
+        if not us:
+            raise ValueError(f"missing {pre} in checkpoint")
+        units.append(max(us))
+        feats.append(int(
+            tensors[f"{pre}/unit_1/bottleneck_v1/conv3/weights"].shape[-1]))
+
+    stem = int(tensors[
+        f"FirstStageFeatureExtractor/{rv}/conv1/weights"].shape[-1])
+    rpn_feats = int(tensors["Conv/weights"].shape[-1])
+    a_cells = int(tensors[
+        "FirstStageBoxPredictor/BoxEncodingPredictor/weights"]
+        .shape[-1]) // 4
+    num_classes = int(tensors[
+        "SecondStageBoxPredictor/ClassPredictor/biases"].shape[0]) - 1
+    cfg = FasterRCNNConfig(input_size=input_size, stem_features=stem,
+                           block_units=tuple(units),
+                           block_features=tuple(feats),
+                           num_classes=num_classes,
+                           rpn_features=rpn_feats)
+    if cfg.anchors_per_cell != a_cells:
+        raise ValueError(
+            f"RPN predicts {a_cells} anchors/cell; only the TF-OD default "
+            f"grid ({cfg.anchors_per_cell}: scales {cfg.anchor_scales} x "
+            f"aspects {cfg.anchor_aspects}) is supported")
+
+    net = net or FasterRCNNNet(cfg=cfg)
+    variables, slots = trace_slots(net, (input_size, input_size, 3))
+    by_path = {"/".join(s.path): s for s in slots}
+    variables = _copy_tree(variables)
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    consumed = set()
+    missing = []
+
+    def bind(slot_path, tf_name, has_bias):
+        slot = by_path.get(slot_path)
+        if slot is None:
+            raise KeyError(f"slot {slot_path} not in FasterRCNNNet tree")
+        kname = f"{tf_name}/weights"
+        if kname not in tensors:
+            missing.append(kname)
+            return
+        kern = _kernel_to_shape(tensors[kname], slot.kernel_shape)
+        if kern is None:
+            missing.append(f"{kname} (shape {tensors[kname].shape} does "
+                           f"not fit {slot.kernel_shape})")
+            return
+        consumed.add(kname)
+        _set_leaf(params, list(slot.path) + ["kernel"],
+                  kern.astype(np.float32))
+        if has_bias:
+            bname = f"{tf_name}/biases"
+            if bname in tensors:
+                _set_leaf(params, list(slot.path) + ["bias"],
+                          tensors[bname].astype(np.float32))
+                consumed.add(bname)
+            else:
+                missing.append(bname)
+        elif slot.bn_path is not None:
+            bnmap = {"gamma": "scale", "beta": "bias"}
+            stmap = {"moving_mean": "mean", "moving_variance": "var"}
+            for tfv, leaf in bnmap.items():
+                n = f"{tf_name}/BatchNorm/{tfv}"
+                if n in tensors:
+                    _set_leaf(params, list(slot.bn_path) + [leaf],
+                              tensors[n].astype(np.float32))
+                    consumed.add(n)
+                else:
+                    missing.append(n)
+            for tfv, leaf in stmap.items():
+                n = f"{tf_name}/BatchNorm/{tfv}"
+                if n in tensors:
+                    _set_leaf(stats, list(slot.bn_path) + [leaf],
+                              tensors[n].astype(np.float32))
+                    consumed.add(n)
+                else:
+                    missing.append(n)
+
+    bind("conv1", f"FirstStageFeatureExtractor/{rv}/conv1", False)
+    for b in range(1, 5):
+        pre = block_prefix(b)
+        for u in range(1, units[b - 1] + 1):
+            flax_u = f"block{b}/unit_{u}"
+            tf_u = f"{pre}/unit_{u}/bottleneck_v1"
+            for c in ("conv1", "conv2", "conv3"):
+                bind(f"{flax_u}/{c}", f"{tf_u}/{c}", False)
+            if f"{tf_u}/shortcut/weights" in tensors:
+                bind(f"{flax_u}/shortcut", f"{tf_u}/shortcut", False)
+    bind("rpn_conv", "Conv", True)
+    bind("rpn_box", "FirstStageBoxPredictor/BoxEncodingPredictor", True)
+    bind("rpn_cls", "FirstStageBoxPredictor/ClassPredictor", True)
+    bind("box_head", "SecondStageBoxPredictor/BoxEncodingPredictor", True)
+    bind("cls_head", "SecondStageBoxPredictor/ClassPredictor", True)
+
+    unused = [n for n in tensors if n not in consumed
+              and not n.endswith(("/ExponentialMovingAverage",
+                                  "global_step"))]
+    report = {"missing": missing, "unused": unused,
+              "assigned": len(consumed), "config": cfg}
+    if strict and missing:
+        raise ValueError(f"faster_rcnn conversion incomplete: {missing}")
+    return variables, report
+
+
+def load_faster_rcnn_saved_model(path: str, input_size: int = 640):
+    """TF-OD faster_rcnn_resnet_v1 SavedModel directory -> native
+    Faster-RCNN weights (convert_faster_rcnn_tfod name map, architecture
+    inferred from the checkpoint). Raises loudly when the directory's
+    variables do not match the family."""
+    tensors = read_saved_model_variables(path)
+    return convert_faster_rcnn_tfod(tensors, input_size=input_size)
+
+
 def load_mars(model_path: str):
     """MARS encoder weights from a frozen .pb / TF checkpoint (name map) or
     a TFLite flatbuffer (structural, BN folded)."""

@@ -49,6 +49,19 @@ def load_labels(label_file: Optional[str]) -> Sequence[str]:
     return list(COCO_LABELS)
 
 
+def _detection_labels(label_file: Optional[str]):
+    """Label dict for 0-based background-stripped class ids. A .pbtxt
+    label map (the SavedModel family's convention,
+    tools/saved_model.py:70-103) carries 1-based ids -> shifted to the
+    0-based contract; plain text files are one name per line."""
+    if label_file and label_file.endswith(".pbtxt") \
+            and os.path.exists(label_file):
+        from .labelmap import load_pbtxt_labelmap
+        table = load_pbtxt_labelmap(label_file)
+        return {i - 1: n for i, n in table.items()}
+    return {i: n for i, n in enumerate(load_labels(label_file))}
+
+
 #: name -> script registry for `create_detector("scripted:<name>")`; the
 #: test/demo seam analogous to the reference's dummy/constant encoder
 #: backends (tools/generate_detections.py:86-116,182-189).
@@ -181,28 +194,58 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
                     "weights.")
             print(f"{model_name} not recognized as a weight artifact; "
                   "running with random-init weights")
+    if params is None and model_name and os.path.isdir(model_name) \
+            and "saved_model" not in name and not allow_random_weights:
+        raise ValueError(
+            f"{model_name} is a directory; SavedModel directories are "
+            "selected by the 'saved_model' substring (deepdish.py:489) — "
+            "rename the path or pass --allow-random-weights to run "
+            "without pre-trained weights.")
     pp = extras.get("postprocess")
     if "saved_model" in name and model_name and os.path.isdir(model_name):
         # SavedModel DIRECTORY (deepdish.py:489 'saved_model' substring):
-        # a TF-OD SSD export converts to the native TPU detector via its
-        # variables checkpoint; other families (e.g. Faster-RCNN,
-        # tools/saved_model.py:13) fall back to the gated host executor,
+        # TF-OD SSD and faster_rcnn_resnet_v1 exports convert to native TPU
+        # detectors via their variables checkpoint; anything else (an
+        # arbitrary SavedModel) falls back to the gated host executor,
         # which feeds the fused encode/track programs like a scripted
-        # detector.
+        # detector (tools/saved_model.py:9-103).
         from . import convert as cvm
         try:
             ssd_params, _rep = cvm.load_ssd_saved_model(model_name)
-        except Exception as e:
-            print(f"SavedModel dir is not a TF-OD SSD export ({e}); "
-                  "using the host SavedModel executor")
-            from .saved_model import SavedModelDetector
-            return SavedModelDetector(model_name, label_file=label_file,
-                                      wanted_labels=wanted_labels,
-                                      score_threshold=score_threshold)
+        except Exception as ssd_err:
+            try:
+                frcnn_params, rep = \
+                    cvm.load_faster_rcnn_saved_model(model_name)
+            except Exception as e:
+                print(f"SavedModel dir is neither a TF-OD SSD export "
+                      f"({ssd_err}) nor a faster_rcnn_resnet_v1 export "
+                      f"({e}); using the host SavedModel executor")
+                from .saved_model import SavedModelDetector
+                return SavedModelDetector(model_name, label_file=label_file,
+                                          wanted_labels=wanted_labels,
+                                          score_threshold=score_threshold)
+            from .faster_rcnn import FasterRCNNDetector
+            det = FasterRCNNDetector(params=frcnn_params,
+                                     config=rep["config"],
+                                     max_outputs=max_outputs,
+                                     score_threshold=score_threshold)
+            det.labels = _detection_labels(label_file)
+            det.label_offset = 0
+            return det
         det = SSDMobileNetDetector(params=ssd_params,
                                    max_outputs=max_outputs,
                                    score_threshold=score_threshold)
         det.labels = {i: n for i, n in enumerate(load_labels(label_file))}
+        det.label_offset = 0
+        return det
+    if "faster_rcnn" in name or "frcnn" in name:
+        # native two-stage family (reference: tools/saved_model.py via the
+        # default faster_rcnn_resnet101 artifact); weights from an .npz
+        # saved by models.weights or the SavedModel-dir branch above
+        from .faster_rcnn import FasterRCNNDetector
+        det = FasterRCNNDetector(params=params, max_outputs=max_outputs,
+                                 score_threshold=score_threshold)
+        det.labels = _detection_labels(label_file)
         det.label_offset = 0
         return det
     if "yolov5" in name:

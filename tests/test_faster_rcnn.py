@@ -1,0 +1,312 @@
+"""Native Faster-RCNN family (VERDICT r2 missing #5, tools/saved_model.py).
+
+Closes the loop three ways on a shrunken-but-structurally-complete config:
+  1. crop_and_resize (the MXU einsum form) is bit-compatible with
+     tf.image.crop_and_resize — the op the TF-OD meta-arch uses for ROI
+     extraction;
+  2. a TF1-style SavedModel whose variables carry the TF-OD
+     faster_rcnn_resnet_v1 graph names converts through
+     convert_faster_rcnn_tfod with forward equality, and create_detector
+     on the DIRECTORY dispatches to the native detector (not the host
+     executor);
+  3. a full TF mirror of the meta-architecture (tf.nn convs + BN,
+     tf.image.crop_and_resize, tf.image.non_max_suppression at both
+     stages) run on the same weights produces the same final detections
+     as the fused XLA program.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepdish_tpu.models import convert as cv
+from deepdish_tpu.models.faster_rcnn import (
+    BOX_SCALE, CHANNEL_MEANS, FasterRCNNConfig, FasterRCNNDetector,
+    FasterRCNNNet, crop_and_resize, generate_rpn_anchors)
+
+from test_convert import _randomize_bn
+
+
+def _tf():
+    return pytest.importorskip("tensorflow")
+
+
+TINY = FasterRCNNConfig(input_size=64, stem_features=8,
+                        block_units=(1, 2, 1, 1),
+                        block_features=(16, 32, 64, 128),
+                        num_classes=3, rpn_features=16,
+                        pre_nms_topk=96, max_proposals=16, crop_size=14)
+
+
+def _tiny_net(score_threshold=0.05):
+    return FasterRCNNNet(cfg=TINY, max_outputs=8,
+                         score_threshold=score_threshold,
+                         compute_dtype=jnp.float32)
+
+
+def _frcnn_tfod_named_tensors(variables, cfg):
+    """The inverse of convert_faster_rcnn_tfod's name map: a flax variable
+    tree as TF-OD faster_rcnn graph-named tensors (resnet_v1_N scope from
+    the total unit count so depth inference is exercised)."""
+    flat_p = cv._flatten(variables["params"])
+    flat_s = cv._flatten(variables["batch_stats"])
+    depth = 3 * sum(cfg.block_units) + 2  # bottleneck convs + stem + fc
+    rv = f"resnet_v1_{depth}"
+    names = {}
+
+    def put(tf_name, flax_name, bias=False):
+        names[f"{tf_name}/weights"] = flat_p[f"{flax_name}/kernel"]
+        if bias:
+            names[f"{tf_name}/biases"] = flat_p[f"{flax_name}/bias"]
+        else:
+            bn = f"{flax_name}_bn"
+            names[f"{tf_name}/BatchNorm/gamma"] = flat_p[f"{bn}/scale"]
+            names[f"{tf_name}/BatchNorm/beta"] = flat_p[f"{bn}/bias"]
+            names[f"{tf_name}/BatchNorm/moving_mean"] = flat_s[f"{bn}/mean"]
+            names[f"{tf_name}/BatchNorm/moving_variance"] = \
+                flat_s[f"{bn}/var"]
+
+    put(f"FirstStageFeatureExtractor/{rv}/conv1", "conv1")
+    for b in range(1, 5):
+        stage = ("FirstStageFeatureExtractor" if b <= 3
+                 else "SecondStageFeatureExtractor")
+        for u in range(1, cfg.block_units[b - 1] + 1):
+            tf_u = f"{stage}/{rv}/block{b}/unit_{u}/bottleneck_v1"
+            flax_u = f"block{b}/unit_{u}"
+            for c in ("conv1", "conv2", "conv3"):
+                put(f"{tf_u}/{c}", f"{flax_u}/{c}")
+            if f"{flax_u}/shortcut/kernel" in flat_p:
+                put(f"{tf_u}/shortcut", f"{flax_u}/shortcut")
+    put("Conv", "rpn_conv", bias=True)
+    put("FirstStageBoxPredictor/BoxEncodingPredictor", "rpn_box", bias=True)
+    put("FirstStageBoxPredictor/ClassPredictor", "rpn_cls", bias=True)
+    put("SecondStageBoxPredictor/BoxEncodingPredictor", "box_head",
+        bias=True)
+    put("SecondStageBoxPredictor/ClassPredictor", "cls_head", bias=True)
+    return names
+
+
+@pytest.fixture(scope="module")
+def donor_and_tensors():
+    net = _tiny_net()
+    donor, _slots = cv.trace_slots(net, (64, 64, 3))
+    donor = _randomize_bn(donor, np.random.RandomState(3))
+    return net, donor, _frcnn_tfod_named_tensors(donor, TINY)
+
+
+def test_crop_and_resize_matches_tf(rng):
+    tf = _tf()
+    fmap = rng.normal(0, 1, (9, 11, 5)).astype(np.float32)
+    boxes = np.array([[0.0, 0.0, 1.0, 1.0],
+                      [0.1, 0.2, 0.7, 0.9],
+                      [0.5, 0.5, 0.5, 0.5],     # degenerate point
+                      [0.6, 0.4, 0.2, 0.8],     # inverted y
+                      [0.0, 0.0, 0.3, 0.3]], np.float32)
+    ours = np.asarray(crop_and_resize(jnp.asarray(fmap),
+                                      jnp.asarray(boxes), 14, 6))
+    ref = tf.image.crop_and_resize(fmap[None], boxes,
+                                   tf.zeros(len(boxes), tf.int32),
+                                   (14, 6)).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_convert_roundtrip_forward_equality(donor_and_tensors):
+    net, donor, tensors = donor_and_tensors
+    converted, report = cv.convert_faster_rcnn_tfod(
+        tensors, net=net, input_size=64)
+    assert not report["missing"]
+    assert not report["unused"], report["unused"]
+    assert report["config"].block_units == TINY.block_units
+    assert report["config"].num_classes == TINY.num_classes
+
+    x = np.random.RandomState(2).uniform(0, 255, (64, 64, 3)) \
+        .astype(np.float32)
+    ref = net.apply(donor, x)
+    got = net.apply(converted, x)
+    for r, o in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_convert_rejects_non_frcnn_tensors():
+    with pytest.raises(ValueError, match="not a TF-OD faster_rcnn"):
+        cv.convert_faster_rcnn_tfod(
+            {"FeatureExtractor/MobilenetV1/Conv2d_0/weights":
+             np.zeros((3, 3, 3, 8), np.float32)})
+
+
+@pytest.fixture(scope="module")
+def frcnn_saved_model(tmp_path_factory, donor_and_tensors):
+    tf = _tf()
+    _net, donor, tensors = donor_and_tensors
+    out_dir = str(tmp_path_factory.mktemp("sm") / "frcnn_saved_model")
+    tf1 = tf.compat.v1
+    g = tf1.Graph()
+    with g.as_default():
+        for name, val in tensors.items():
+            tf1.get_variable(name, initializer=np.asarray(val, np.float32))
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            b = tf1.saved_model.Builder(out_dir)
+            b.add_meta_graph_and_variables(sess, ["serve"])
+            b.save()
+    return out_dir, donor
+
+
+def test_saved_model_dir_dispatches_to_native_frcnn(frcnn_saved_model,
+                                                    tmp_path):
+    from deepdish_tpu.models.registry import create_detector
+    out_dir, donor = frcnn_saved_model
+    labelmap = tmp_path / "map.pbtxt"
+    labelmap.write_text(
+        'item {\n  id: 1\n  name: "person"\n}\n'
+        'item {\n  id: 2\n  name: "car"\n}\n'
+        'item {\n  id: 3\n  name: "dog"\n}\n')
+    det = create_detector(out_dir, label_file=str(labelmap))
+    assert isinstance(det, FasterRCNNDetector)
+    assert det.cfg.block_units == TINY.block_units
+    assert det.cfg.num_classes == TINY.num_classes
+    # zoo-default input size when loading from a SavedModel directory
+    assert det.width == det.height == 640
+    # 1-based pbtxt ids -> the 0-based background-stripped contract
+    assert det.labels == {0: "person", 1: "car", 2: "dog"}
+    got = det.params["params"]["conv1"]["kernel"]
+    want = donor["params"]["conv1"]["kernel"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
+def _np_decode(enc, anchors_ychw):
+    ya, xa, ha, wa = (anchors_ychw[:, i] for i in range(4))
+    ty, tx, th, tw = (enc[:, i] / BOX_SCALE[i] for i in range(4))
+    yc, xc = ty * ha + ya, tx * wa + xa
+    h, w = np.exp(th) * ha, np.exp(tw) * wa
+    return np.stack([yc - h / 2, xc - w / 2, yc + h / 2, xc + w / 2], 1)
+
+
+def _tf_mirror_detect(tf, tensors, cfg, image, score_threshold,
+                      max_outputs):
+    """The TF-OD meta-architecture written with TF ops on the graph-named
+    tensors — the oracle for what the zoo SavedModel computes internally."""
+    depth = 3 * sum(cfg.block_units) + 2
+    rv = f"resnet_v1_{depth}"
+
+    def conv_bn(x, tf_name, stride=1, relu=True):
+        k = tf.constant(tensors[f"{tf_name}/weights"])
+        x = tf.nn.conv2d(x, k, strides=stride, padding="SAME")
+        x = tf.nn.batch_normalization(
+            x, tf.constant(tensors[f"{tf_name}/BatchNorm/moving_mean"]),
+            tf.constant(tensors[f"{tf_name}/BatchNorm/moving_variance"]),
+            tf.constant(tensors[f"{tf_name}/BatchNorm/beta"]),
+            tf.constant(tensors[f"{tf_name}/BatchNorm/gamma"]), 1e-5)
+        return tf.nn.relu(x) if relu else x
+
+    def conv_bias(x, tf_name, kernel=None, relu=False):
+        k = tf.constant(tensors[f"{tf_name}/weights"])
+        x = tf.nn.conv2d(x, k, strides=1, padding="SAME") + \
+            tf.constant(tensors[f"{tf_name}/biases"])
+        return tf.nn.relu(x) if relu else x
+
+    def bottleneck(x, tf_u, features, stride):
+        depth_in = int(x.shape[-1])
+        if depth_in != features or stride != 1:
+            short = conv_bn(x, f"{tf_u}/shortcut", stride, relu=False)
+        else:
+            short = x
+        h = conv_bn(x, f"{tf_u}/conv1")
+        h = conv_bn(h, f"{tf_u}/conv2", stride)
+        h = conv_bn(h, f"{tf_u}/conv3", relu=False)
+        return tf.nn.relu(short + h)
+
+    def block(x, b, stage):
+        units = cfg.block_units[b - 1]
+        for u in range(1, units + 1):
+            s = cfg.block_strides[b - 1] if u == units else 1
+            x = bottleneck(x, f"{stage}/{rv}/block{b}/unit_{u}/"
+                           "bottleneck_v1", cfg.block_features[b - 1], s)
+        return x
+
+    x = tf.constant(image[None]) - tf.constant([[CHANNEL_MEANS]],
+                                               tf.float32)
+    x = conv_bn(x, f"FirstStageFeatureExtractor/{rv}/conv1", 2)
+    x = tf.nn.max_pool2d(x, 3, 2, "SAME")
+    for b in (1, 2, 3):
+        x = block(x, b, "FirstStageFeatureExtractor")
+    fmap = x
+
+    rpn = conv_bias(fmap, "Conv", relu=True)
+    rpn_box = conv_bias(rpn, "FirstStageBoxPredictor/BoxEncodingPredictor")
+    rpn_cls = conv_bias(rpn, "FirstStageBoxPredictor/ClassPredictor")
+    enc = rpn_box.numpy().reshape(-1, 4)
+    logits = rpn_cls.numpy().reshape(-1, 2)
+
+    anchors = generate_rpn_anchors(cfg)
+    obj = np.exp(logits[:, 1]) / np.exp(logits).sum(1)
+    boxes = np.clip(_np_decode(enc, anchors), 0.0, cfg.input_size)
+    k = min(cfg.pre_nms_topk, len(boxes))
+    top = np.argsort(-obj, kind="stable")[:k]
+    keep = tf.image.non_max_suppression(
+        boxes[top], obj[top], max_output_size=min(cfg.max_proposals, k),
+        iou_threshold=cfg.rpn_iou_threshold).numpy()
+    proposals = boxes[top][keep] / cfg.input_size
+    P = len(proposals)
+
+    crops = tf.image.crop_and_resize(
+        fmap, proposals.astype(np.float32), tf.zeros(P, tf.int32),
+        (cfg.crop_size, cfg.crop_size))
+    crops = tf.nn.max_pool2d(crops, 2, 2, "SAME")
+    roi = block(crops, 4, "SecondStageFeatureExtractor")
+    pooled = tf.reduce_mean(roi, axis=(1, 2)).numpy()
+    cls = pooled @ tensors["SecondStageBoxPredictor/ClassPredictor/"
+                           "weights"] + \
+        tensors["SecondStageBoxPredictor/ClassPredictor/biases"]
+    box = pooled @ tensors["SecondStageBoxPredictor/BoxEncodingPredictor/"
+                           "weights"] + \
+        tensors["SecondStageBoxPredictor/BoxEncodingPredictor/biases"]
+    probs = np.exp(cls) / np.exp(cls).sum(1, keepdims=True)
+    probs = probs[:, 1:]
+    scores = probs.max(1)
+    classes = probs.argmax(1)
+    deltas = box.reshape(P, cfg.num_classes, 4)[np.arange(P), classes]
+    pych = np.stack([(proposals[:, 0] + proposals[:, 2]) / 2,
+                     (proposals[:, 1] + proposals[:, 3]) / 2,
+                     proposals[:, 2] - proposals[:, 0],
+                     proposals[:, 3] - proposals[:, 1]], 1)
+    final = np.clip(_np_decode(deltas, pych), 0.0, 1.0)
+
+    out = []
+    for c in sorted(set(classes.tolist())):
+        sel = np.flatnonzero((classes == c) & (scores >= score_threshold))
+        if not len(sel):
+            continue
+        kept = tf.image.non_max_suppression(
+            final[sel], scores[sel], max_output_size=len(sel),
+            iou_threshold=cfg.nms_iou_threshold).numpy()
+        for i in sel[kept]:
+            out.append((scores[i], c, final[i]))
+    out.sort(key=lambda t: -t[0])
+    return out[:max_outputs]
+
+
+def test_full_tf_mirror_e2e(donor_and_tensors):
+    """The fused XLA program == the TF meta-arch on identical weights."""
+    tf = _tf()
+    net, donor, tensors = donor_and_tensors
+    tensors = {k: np.asarray(v, np.float32) for k, v in tensors.items()}
+    image = np.random.RandomState(11).uniform(0, 255, (64, 64, 3)) \
+        .astype(np.float32)
+
+    thr = 0.05
+    ref = _tf_mirror_detect(tf, tensors, TINY, image, thr, 8)
+    boxes_n, classes, scores, valid = net.apply(donor, image)
+    boxes_n, classes, scores, valid = (np.asarray(a) for a in
+                                       (boxes_n, classes, scores, valid))
+    got = [(scores[i], int(classes[i]), boxes_n[i])
+           for i in range(len(valid)) if valid[i]]
+
+    assert len(got) == len(ref), (got, ref)
+    for (rs, rc, rb), (gs, gc, gb) in zip(ref, got):
+        assert rc == gc
+        np.testing.assert_allclose(gs, rs, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(gb, rb, rtol=1e-4, atol=1e-4)
+    assert len(got) > 0, "mirror scene produced no detections to compare"
