@@ -22,6 +22,15 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    # pytest-timeout is not installed in this image; register the mark so
+    # annotated budgets are documented without unknown-mark warnings.
+    config.addinivalue_line(
+        "markers",
+        "timeout(seconds): intended wall-clock budget (no-op without the "
+        "pytest-timeout plugin)")
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
