@@ -176,6 +176,40 @@ def test_saved_model_dir_dispatches_to_native_frcnn(frcnn_saved_model,
     np.testing.assert_allclose(np.asarray(got), np.asarray(want))
 
 
+def test_framestep_integration_single_and_chunk():
+    """The two-stage program drops into the fused pipeline: single-step
+    and the chunked scan (detector vmapped over the frame axis — the RPN
+    NMS while_loop and top_k must batch) produce consistent tables."""
+    from deepdish_tpu import tracker as tt
+    from deepdish_tpu.models import create_box_encoder
+    from deepdish_tpu.pipeline import FrameStep, FrameStepConfig
+
+    det = FasterRCNNDetector(config=TINY, max_outputs=8,
+                             score_threshold=0.3,
+                             compute_dtype=jnp.float32)
+    det.labels = {0: "person", 1: "car", 2: "dog"}
+    det.label_offset = 0
+    enc = create_box_encoder("dummy")
+    cfg = tt.TrackerConfig(max_tracks=8, max_detections=8,
+                           gallery_size=16, num_labels=2, max_age=5)
+    fs = FrameStep(det, enc, cfg, ["person", "car"], (48, 64),
+                   FrameStepConfig(score_threshold=0.3))
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 255, size=(3, 48, 64, 3)).astype(np.uint8)
+
+    state = fs.init_state()
+    state, out, snap, raw = fs.step(state, frames[0])
+    assert np.asarray(out.track_id).shape == (8,)
+    assert np.isfinite(np.asarray(snap.tlwh)).all()
+
+    state2 = fs.init_state()
+    state2, outs, snaps = fs.run_chunk(state2, frames)
+    assert np.asarray(outs.track_id).shape == (3, 8)
+    # frame 0 of the chunk == the sequential first step
+    np.testing.assert_array_equal(np.asarray(outs.track_id)[0],
+                                  np.asarray(out.track_id))
+
+
 def _np_decode(enc, anchors_ychw):
     ya, xa, ha, wa = (anchors_ychw[:, i] for i in range(4))
     ty, tx, th, tw = (enc[:, i] / BOX_SCALE[i] for i in range(4))
