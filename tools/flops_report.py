@@ -6,6 +6,7 @@ cost-analysis FLOP count per frame, then the implied TFLOPS / MFU at a
 given FPS. Keeps the MFU claims in docs/BENCH_NOTES.md reproducible.
 
 Usage: python tools/flops_report.py [--chunk 32] [--enc-cap 8] [--fps 3181]
+                                    [--model ssd_mobilenet]
 """
 import sys
 
@@ -31,7 +32,8 @@ def main():
     fps = _arg("--fps", None, float) if "--fps" in sys.argv else None
 
     H, W = 720, 1280
-    det = create_detector("ssd_mobilenet", max_outputs=32)
+    model = _arg("--model", "ssd_mobilenet", str)
+    det = create_detector(model, max_outputs=32)
     enc = create_box_encoder("mars")
     cfg = tt.TrackerConfig(max_tracks=64, max_detections=32,
                            gallery_size=64, num_labels=4)
