@@ -82,12 +82,15 @@ def generate_rpn_anchors(cfg: FasterRCNNConfig) -> np.ndarray:
     """TF-OD GridAnchorGenerator anchors as (N, 4) [ycenter, xcenter, h, w]
     in absolute input pixels: centers at (row * stride, col * stride)
     (zero offset), h = base * scale / sqrt(aspect), w = base * scale *
-    sqrt(aspect); per-cell order is scale-major, aspect-minor, matching the
-    RPN head's channel layout."""
+    sqrt(aspect). Per-cell order is ASPECT-major, scale-minor — TF-OD's
+    GridAnchorGenerator flattens `ops.meshgrid(scales, aspect_ratios)`
+    (shape (n_aspects, n_scales)) row-major, and the RPN head's channel
+    layout is trained against that order, so a real zoo checkpoint's
+    rpn_box/rpn_cls channels bind to these anchors only in this order."""
     fs = cfg.input_size // cfg.anchor_stride
     per_cell = [(cfg.anchor_base * s / np.sqrt(a),
                  cfg.anchor_base * s * np.sqrt(a))
-                for s in cfg.anchor_scales for a in cfg.anchor_aspects]
+                for a in cfg.anchor_aspects for s in cfg.anchor_scales]
     anchors = []
     for y in range(fs):
         for x in range(fs):
