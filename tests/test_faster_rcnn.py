@@ -111,6 +111,38 @@ def test_crop_and_resize_matches_tf(rng):
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_anchor_layout_matches_tfod_grid_generator():
+    """Pin generate_rpn_anchors to the TF-OD GridAnchorGenerator layout by
+    mirroring object_detection/anchor_generators/grid_anchor_generator.py
+    with raw TF ops: _generate flattens ops.meshgrid(scales, aspect_ratios)
+    — xgrid shape y.shape + x.shape, so (n_aspects, n_scales) row-major →
+    aspect-major per-cell order — and tile_anchors lays the grid out as
+    (y, x, a) with h = scale / sqrt(aspect) * base, w = scale *
+    sqrt(aspect) * base, centers at row/col * stride + offset (0 here).
+    A real zoo checkpoint's rpn_box/rpn_cls channels only bind correctly
+    in this exact order."""
+    tf = _tf()
+    cfg = TINY
+    scales = tf.constant(cfg.anchor_scales, tf.float32)
+    aspects = tf.constant(cfg.anchor_aspects, tf.float32)
+    # ops.meshgrid(x=scales, y=aspects): tile x to y.shape + x.shape
+    scales_grid = tf.reshape(tf.tile(scales[None, :], [len(cfg.anchor_aspects), 1]), [-1])
+    aspects_grid = tf.reshape(tf.tile(aspects[:, None], [1, len(cfg.anchor_scales)]), [-1])
+    ratio_sqrts = tf.sqrt(aspects_grid)
+    heights = scales_grid / ratio_sqrts * cfg.anchor_base
+    widths = scales_grid * ratio_sqrts * cfg.anchor_base
+    fs = cfg.input_size // cfg.anchor_stride
+    y_centers = tf.cast(tf.range(fs), tf.float32) * cfg.anchor_stride
+    x_centers = tf.cast(tf.range(fs), tf.float32) * cfg.anchor_stride
+    # tile_anchors: grids laid out (grid_y, grid_x, anchors_per_cell)
+    yg = tf.tile(y_centers[:, None, None], [1, fs, len(heights)])
+    xg = tf.tile(x_centers[None, :, None], [fs, 1, len(heights)])
+    hg = tf.tile(heights[None, None, :], [fs, fs, 1])
+    wg = tf.tile(widths[None, None, :], [fs, fs, 1])
+    ref = tf.reshape(tf.stack([yg, xg, hg, wg], axis=3), [-1, 4]).numpy()
+    np.testing.assert_allclose(generate_rpn_anchors(cfg), ref, rtol=1e-6)
+
+
 def test_convert_roundtrip_forward_equality(donor_and_tensors):
     net, donor, tensors = donor_and_tensors
     converted, report = cv.convert_faster_rcnn_tfod(
