@@ -1,0 +1,615 @@
+"""Quantized-graph executor: run full-integer TFLite artifacts with TFLite's
+own integer arithmetic, byte-exact, as one jittable XLA program.
+
+The reference's real detector artifacts are full-integer quantized — uint8
+input, int8 activations/weights, int32 biases (tools/ssd_mobilenet.py:100-103,
+tools/yolov5.py:102-118) — and run on the EdgeTPU's integer datapath. The
+float converters in models/convert.py dequantize those weights and run bf16
+(tolerance-tested); this module is the integer datapath itself: it replays
+the flatbuffer's op stream with gemmlowp fixed-point requantization
+(ops/intmath.py), so every intermediate tensor is bit-equal to the TFLite
+reference kernels, and the hot matmuls run as int8 MXU contractions.
+
+Execution model: static shapes throughout (they are static in the
+flatbuffer), one Python loop over ops at trace time, everything under one
+jit. Convolutions have two exact implementations:
+
+  * portable: subtract the input zero point (int32), zero-pad, im2col,
+    int32 dot — correct on any backend;
+  * mxu: keep activations int8, zero-pad, im2col, int8 x int8 -> int32
+    dot_general (the TPU's 2x-rate MXU path), then add a PRECOMPUTED
+    per-position zero-point offset map (zp * sum of in-bounds kernel taps
+    — constant because padding geometry is static).
+
+Both produce identical accumulators (tests/test_qgraph.py asserts it);
+`conv_impl="auto"` picks mxu on TPU backends.
+
+Supported ops: CONV_2D, DEPTHWISE_CONV_2D, FULLY_CONNECTED, ADD, SUB, MUL,
+QUANTIZE (requantize), DEQUANTIZE, RESHAPE, CONCATENATION, LOGISTIC (int8
+LUT), MAX_POOL_2D, AVERAGE_POOL_2D, PAD, SOFTMAX(float), and the
+TFLite_Detection_PostProcess custom op as a STOP point (its float inputs
+become the executor's outputs; the native decode consumes them, matching
+tools/ssd_mobilenet.py:104-127). Anything else raises with the op name.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import intmath
+
+# builtin opcodes (lite/schema/schema.fbs)
+ADD, AVG_POOL, CONCAT, CONV, DW_CONV = 0, 1, 2, 3, 4
+DEQUANTIZE, FC, LOGISTIC, MAX_POOL, MUL = 6, 9, 14, 17, 18
+RESHAPE, SOFTMAX, CUSTOM, PAD_OP, SUB, QUANTIZE = 22, 25, 32, 34, 41, 114
+
+_OP_NAMES = {0: "ADD", 1: "AVERAGE_POOL_2D", 2: "CONCATENATION",
+             3: "CONV_2D", 4: "DEPTHWISE_CONV_2D", 6: "DEQUANTIZE",
+             9: "FULLY_CONNECTED", 14: "LOGISTIC", 17: "MAX_POOL_2D",
+             18: "MUL", 22: "RESHAPE", 25: "SOFTMAX", 34: "PAD",
+             41: "SUB", 114: "QUANTIZE"}
+
+_NP_DT = {0: np.float32, 2: np.int32, 3: np.uint8, 4: np.int64,
+          7: np.int16, 9: np.int8}
+
+
+def _round_half_away(x):
+    return np.floor(np.abs(x) + 0.5) * np.sign(x)
+
+
+@dataclass
+class _TMeta:
+    name: str
+    dtype: Any
+    shape: Tuple[int, ...]
+    scale: Optional[np.ndarray]     # per-tensor (1,) or per-channel (C,)
+    zp: Optional[np.ndarray]
+    qdim: int
+
+
+@dataclass
+class _QOp:
+    code: int
+    name: str                       # output tensor name (diagnostics)
+    inputs: List[int]
+    outputs: List[int]
+    attrs: Dict[str, Any] = field(default_factory=dict)
+
+
+def _act_range(fused: int, scale: float, zp: int, dtype) -> Tuple[int, int]:
+    """CalculateActivationRangeQuantized: clamp bounds in the quantized
+    domain for the fused activation (kernel_util.cc)."""
+    qmin = int(np.iinfo(dtype).min)
+    qmax = int(np.iinfo(dtype).max)
+
+    def q(f):
+        return int(zp + _round_half_away(np.float64(f) / scale))
+
+    if fused == 1:                                     # RELU
+        return max(qmin, q(0.0)), qmax
+    if fused == 2:                                     # RELU_N1_TO_1
+        return max(qmin, q(-1.0)), min(qmax, q(1.0))
+    if fused == 3:                                     # RELU6
+        return max(qmin, q(0.0)), min(qmax, q(6.0))
+    if fused == 0:
+        return qmin, qmax
+    raise NotImplementedError(f"fused activation {fused}")
+
+
+def _padding_amounts(in_size, k_eff, stride, padding):
+    """TFLite ComputePaddingWithOffset: SAME puts the extra pixel after."""
+    if padding == 1:                                   # VALID
+        out = (in_size - k_eff) // stride + 1
+        return out, 0, 0
+    out = -(-in_size // stride)                        # SAME: ceil
+    total = max(0, (out - 1) * stride + k_eff - in_size)
+    before = total // 2
+    return out, before, total - before
+
+
+def _per_channel_requant(in_scale: float, w_scales: np.ndarray,
+                         out_scale: float):
+    m0, sh = [], []
+    for ws in np.atleast_1d(w_scales).astype(np.float64):
+        a, b = intmath.quantize_multiplier(float(in_scale) * float(ws)
+                                           / float(out_scale))
+        m0.append(a)
+        sh.append(b)
+    return np.asarray(m0, np.int32), np.asarray(sh, np.int32)
+
+
+class QGraphExecutor:
+    """Parse a full-integer .tflite and execute it exactly under jit.
+
+    apply(consts, x) -> list of output arrays (graph output order, or the
+    custom postprocess op's inputs when the graph ends in one). `consts`
+    is `self.consts` (a dict pytree of weights/LUTs/requant tables) so the
+    weights live as device arrays, not XLA literals."""
+
+    def __init__(self, model_path: str, conv_impl: str = "auto",
+                 stop_at_custom: bool = True):
+        from tensorflow.lite.python import schema_py_generated as fb
+        with open(model_path, "rb") as f:
+            buf = bytearray(f.read())
+        model = fb.Model.GetRootAsModel(buf, 0)
+        sg = model.Subgraphs(0)
+        self.conv_impl = conv_impl
+        self.consts: Dict[str, np.ndarray] = {}
+        self.meta: List[_TMeta] = []
+        self._const_idx: Dict[int, np.ndarray] = {}
+
+        for ti in range(sg.TensorsLength()):
+            t = sg.Tensors(ti)
+            q = t.Quantization()
+            scale = zp = None
+            qdim = 0
+            if q is not None and q.ScaleLength():
+                scale = q.ScaleAsNumpy().astype(np.float64)
+                zp = (q.ZeroPointAsNumpy().astype(np.int64)
+                      if q.ZeroPointLength() else np.zeros_like(scale))
+                qdim = q.QuantizedDimension()
+            shape = tuple(int(s) for s in (t.ShapeAsNumpy()
+                                           if t.ShapeLength() else ()))
+            self.meta.append(_TMeta(t.Name().decode(),
+                                    _NP_DT.get(t.Type(), None), shape,
+                                    scale, zp, qdim))
+            b = model.Buffers(t.Buffer())
+            if b.DataLength():
+                dt = _NP_DT.get(t.Type())
+                if dt is not None:
+                    arr = np.frombuffer(b.DataAsNumpy().tobytes(), dt)
+                    if shape:
+                        arr = arr.reshape(shape)
+                    self._const_idx[ti] = arr
+
+        self.input_idx = int(sg.Inputs(0))
+        self.output_idxs = [int(sg.Outputs(j))
+                            for j in range(sg.OutputsLength())]
+        self.ops: List[_QOp] = []
+        self.stopped_at_custom = False
+        for oi in range(sg.OperatorsLength()):
+            op = sg.Operators(oi)
+            oc = model.OperatorCodes(op.OpcodeIndex())
+            code = int(max(oc.BuiltinCode(), oc.DeprecatedBuiltinCode()))
+            ins = [int(op.Inputs(j)) for j in range(op.InputsLength())]
+            outs = [int(op.Outputs(j)) for j in range(op.OutputsLength())]
+            if code == CUSTOM:
+                cc = oc.CustomCode()
+                cname = cc.decode() if cc else "?"
+                if stop_at_custom:
+                    # detections come from the native decode on the op's
+                    # (float, already-dequantized) inputs
+                    self.output_idxs = [t for t in ins
+                                        if t not in self._const_idx]
+                    self.stopped_at_custom = True
+                    break
+                raise NotImplementedError(f"custom op {cname}")
+            qop = _QOp(code, self.meta[outs[0]].name, ins, outs)
+            self._prepare(qop, op, fb)
+            self.ops.append(qop)
+
+        used = set()
+        for qop in self.ops:
+            used.update(qop.inputs)
+        self._needed_consts = {ti for ti in self._const_idx if ti in used}
+
+    # ---- per-op host-side preparation (requant tables, layouts) ----
+
+    def _q(self, ti):
+        m = self.meta[ti]
+        if m.scale is None:
+            raise ValueError(f"tensor {m.name} has no quantization")
+        return float(m.scale[0]), int(m.zp[0])
+
+    def _prepare(self, qop: _QOp, op, fb):
+        code = qop.code
+        key = f"op{len(self.ops)}"
+        meta_out = self.meta[qop.outputs[0]]
+
+        if code in (CONV, DW_CONV, FC):
+            kt = qop.inputs[1]
+            kern = self._const_idx[kt]
+            km = self.meta[kt]
+            if kern.dtype != np.int8:
+                raise NotImplementedError(
+                    f"{_OP_NAMES[code]} with {kern.dtype} weights (only "
+                    "int8 full-integer graphs are supported)")
+            in_scale, in_zp = self._q(qop.inputs[0])
+            out_scale, out_zp = self._q(qop.outputs[0])
+            bias = None
+            if len(qop.inputs) >= 3 and qop.inputs[2] >= 0:
+                bias = self._const_idx[qop.inputs[2]].astype(np.int32)
+            if code == CONV:
+                o = fb.Conv2DOptions()
+                o.Init(op.BuiltinOptions().Bytes, op.BuiltinOptions().Pos)
+                stride = (o.StrideH(), o.StrideW())
+                dil = (o.DilationHFactor(), o.DilationWFactor())
+                fused, padding = o.FusedActivationFunction(), o.Padding()
+                k = np.transpose(kern, (1, 2, 3, 0))    # OHWI -> HWIO
+            elif code == DW_CONV:
+                o = fb.DepthwiseConv2DOptions()
+                o.Init(op.BuiltinOptions().Bytes, op.BuiltinOptions().Pos)
+                if o.DepthMultiplier() != 1:
+                    raise NotImplementedError("depth_multiplier != 1")
+                stride = (o.StrideH(), o.StrideW())
+                dil = (o.DilationHFactor(), o.DilationWFactor())
+                fused, padding = o.FusedActivationFunction(), o.Padding()
+                k = np.transpose(kern, (1, 2, 0, 3))    # 1HWC -> HW1C
+            else:
+                o = fb.FullyConnectedOptions()
+                o.Init(op.BuiltinOptions().Bytes, op.BuiltinOptions().Pos)
+                stride = dil = (1, 1)
+                fused, padding = o.FusedActivationFunction(), 1
+                k = np.transpose(kern, (1, 0))          # OI -> IO
+            w_scales = np.asarray(km.scale, np.float64)
+            m0, sh = _per_channel_requant(in_scale, w_scales, out_scale)
+            act_min, act_max = _act_range(fused, out_scale, out_zp,
+                                          meta_out.dtype)
+            qop.attrs.update(stride=stride, dilation=dil, padding=padding,
+                             in_zp=in_zp, out_zp=out_zp,
+                             act=(act_min, act_max), kkey=key)
+            self.consts[f"{key}/kernel"] = k
+            self.consts[f"{key}/m0"] = m0
+            self.consts[f"{key}/shift"] = sh
+            if bias is not None:
+                self.consts[f"{key}/bias"] = bias
+            if code in (CONV, FC):
+                self._prep_offset_map(qop, k, in_zp)
+
+        elif code in (ADD, SUB):
+            s1, z1 = self._q(qop.inputs[0])
+            s2, z2 = self._q(qop.inputs[1])
+            so, zo = self._q(qop.outputs[0])
+            o = fb.AddOptions() if code == ADD else fb.SubOptions()
+            o.Init(op.BuiltinOptions().Bytes, op.BuiltinOptions().Pos)
+            fused = o.FusedActivationFunction()
+            left_shift = 20
+            twice_max = 2.0 * max(s1, s2)
+            m1 = intmath.quantize_multiplier(s1 / twice_max)
+            m2 = intmath.quantize_multiplier(s2 / twice_max)
+            mo = intmath.quantize_multiplier(
+                twice_max / ((1 << left_shift) * so))
+            qop.attrs.update(z1=z1, z2=z2, zo=zo, m1=m1, m2=m2, mo=mo,
+                             left_shift=left_shift,
+                             act=_act_range(fused, so, zo, meta_out.dtype))
+
+        elif code == MUL:
+            s1, z1 = self._q(qop.inputs[0])
+            s2, z2 = self._q(qop.inputs[1])
+            so, zo = self._q(qop.outputs[0])
+            o = fb.MulOptions()
+            o.Init(op.BuiltinOptions().Bytes, op.BuiltinOptions().Pos)
+            qop.attrs.update(z1=z1, z2=z2, zo=zo,
+                             mo=intmath.quantize_multiplier(s1 * s2 / so),
+                             act=_act_range(o.FusedActivationFunction(),
+                                            so, zo, meta_out.dtype))
+
+        elif code == QUANTIZE:
+            si, zi = self._q(qop.inputs[0]) \
+                if self.meta[qop.inputs[0]].scale is not None else (None, 0)
+            so, zo = self._q(qop.outputs[0])
+            if si is None:
+                raise NotImplementedError("QUANTIZE from float inside an "
+                                          "integer graph")
+            qop.attrs.update(zi=zi, zo=zo,
+                             mo=intmath.quantize_multiplier(si / so),
+                             qmin=int(np.iinfo(meta_out.dtype).min),
+                             qmax=int(np.iinfo(meta_out.dtype).max))
+
+        elif code == DEQUANTIZE:
+            si, zi = self._q(qop.inputs[0])
+            qop.attrs.update(scale=si, zp=zi)
+
+        elif code == LOGISTIC:
+            si, zi = self._q(qop.inputs[0])
+            so, zo = self._q(qop.outputs[0])
+            dt = self.meta[qop.inputs[0]].dtype
+            if dt != np.int8:
+                raise NotImplementedError(f"LOGISTIC on {dt}")
+            # LUTPopulate<int8>: float sigmoid sampled at each of the 256
+            # input codes, rounded half-away, clamped (lite/kernels/
+            # internal/common.h; also XNNPACK's table)
+            q = np.arange(-128, 128, dtype=np.float64)
+            x = si * (q - zi)
+            y = 1.0 / (1.0 + np.exp(-x))
+            lut = np.clip(_round_half_away(y / so) + zo, -128, 127)
+            self.consts[f"{key}/lut"] = lut.astype(np.int8)
+            qop.attrs.update(kkey=key)
+
+        elif code in (MAX_POOL, AVG_POOL):
+            o = fb.Pool2DOptions()
+            o.Init(op.BuiltinOptions().Bytes, op.BuiltinOptions().Pos)
+            so, zo = self._q(qop.outputs[0])
+            qop.attrs.update(stride=(o.StrideH(), o.StrideW()),
+                             ksize=(o.FilterHeight(), o.FilterWidth()),
+                             padding=o.Padding(),
+                             act=_act_range(o.FusedActivationFunction(),
+                                            so, zo, meta_out.dtype))
+
+        elif code == CONCAT:
+            o = fb.ConcatenationOptions()
+            o.Init(op.BuiltinOptions().Bytes, op.BuiltinOptions().Pos)
+            so, zo = self._q(qop.outputs[0])
+            for ti in qop.inputs:
+                si, zi = self._q(ti)
+                if abs(si - so) > 1e-12 * so or zi != zo:
+                    raise NotImplementedError(
+                        "CONCATENATION with per-input requantization "
+                        f"(input {self.meta[ti].name} scale {si} vs output "
+                        f"{so}) — the int8 converter unifies these")
+            qop.attrs.update(axis=o.Axis())
+
+        elif code == RESHAPE:
+            qop.attrs.update(shape=meta_out.shape)
+
+        elif code == PAD_OP:
+            pads = self._const_idx[qop.inputs[1]].astype(int)
+            _, zi = self._q(qop.inputs[0])
+            qop.attrs.update(pads=pads, value=zi)
+
+        elif code == SOFTMAX:
+            if self.meta[qop.inputs[0]].dtype != np.float32:
+                raise NotImplementedError("quantized SOFTMAX")
+
+        else:
+            raise NotImplementedError(
+                f"TFLite op {code} ({_OP_NAMES.get(code, '?')}) in an "
+                "integer graph")
+
+    def _prep_offset_map(self, qop: _QOp, k_hwio: np.ndarray, in_zp: int):
+        """MXU path: offset[ho, wo, co] = zp_in * sum of kernel taps whose
+        input sample is in-bounds (zero padding contributes x=0 to the int8
+        dot, but the true term is (0-ish...) — see module docstring).
+        Constant, because padding geometry is static."""
+        if in_zp == 0:
+            qop.attrs["offkey"] = None
+            return
+        key = qop.attrs["kkey"]
+        in_shape = self.meta[qop.inputs[0]].shape
+        if len(k_hwio.shape) == 2:                     # FC: no padding
+            off = in_zp * k_hwio.sum(axis=0, dtype=np.int64)
+            self.consts[f"{key}/off"] = off.astype(np.int32)
+            qop.attrs["offkey"] = key
+            return
+        kh, kw, ci, co = k_hwio.shape
+        sh, sw = qop.attrs["stride"]
+        dh, dw = qop.attrs["dilation"]
+        h, w = in_shape[1], in_shape[2]
+        ho, pt, pb = _padding_amounts(h, (kh - 1) * dh + 1, sh,
+                                      qop.attrs["padding"])
+        wo, pl, pr = _padding_amounts(w, (kw - 1) * dw + 1, sw,
+                                      qop.attrs["padding"])
+        mask = np.zeros((h + pt + pb, w + pl + pr), np.int64)
+        mask[pt:pt + h, pl:pl + w] = 1
+        ksum = k_hwio.sum(axis=2, dtype=np.int64)      # (kh, kw, co)
+        off = np.zeros((ho, wo, co), np.int64)
+        for dy in range(kh):
+            for dx in range(kw):
+                sub = mask[dy * dh: dy * dh + (ho - 1) * sh + 1: sh,
+                           dx * dw: dx * dw + (wo - 1) * sw + 1: sw]
+                off += sub[:, :, None] * ksum[dy, dx][None, None, :]
+        self.consts[f"{key}/off"] = (in_zp * off).astype(np.int32)
+        qop.attrs["offkey"] = key
+
+    # ---- trace-time execution ----
+
+    def _use_mxu(self):
+        if self.conv_impl == "auto":
+            return jax.default_backend() not in ("cpu",)
+        return self.conv_impl == "mxu"
+
+    def _patches(self, x, kh, kw, stride, dil, padding, pad_value=0):
+        """im2col: x (1, H, W, C) -> (Ho, Wo, kh*kw*C), zero-padded."""
+        h, w = x.shape[1], x.shape[2]
+        sh, sw = stride
+        dh, dw = dil
+        ho, pt, pb = _padding_amounts(h, (kh - 1) * dh + 1, sh, padding)
+        wo, pl, pr = _padding_amounts(w, (kw - 1) * dw + 1, sw, padding)
+        xp = jnp.pad(x[0], ((pt, pb), (pl, pr), (0, 0)),
+                     constant_values=pad_value)
+        taps = []
+        for dy in range(kh):
+            for dx in range(kw):
+                taps.append(xp[dy * dh: dy * dh + (ho - 1) * sh + 1: sh,
+                               dx * dw: dx * dw + (wo - 1) * sw + 1: sw, :])
+        return jnp.stack(taps, axis=2).reshape(ho, wo, -1), ho, wo
+
+    def _conv(self, qop, consts, x):
+        key = qop.attrs["kkey"]
+        k = consts[f"{key}/kernel"]
+        kh, kw, ci, co = k.shape
+        if self._use_mxu():
+            p, ho, wo = self._patches(x, kh, kw, qop.attrs["stride"],
+                                      qop.attrs["dilation"],
+                                      qop.attrs["padding"])
+            acc = jax.lax.dot_general(
+                p.reshape(ho * wo, kh * kw * ci),
+                k.reshape(kh * kw * ci, co),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).reshape(ho, wo, co)
+            if qop.attrs["offkey"] is not None:
+                acc = acc - consts[f"{key}/off"]
+        else:
+            xs = x.astype(jnp.int32) - qop.attrs["in_zp"]
+            p, ho, wo = self._patches(xs, kh, kw, qop.attrs["stride"],
+                                      qop.attrs["dilation"],
+                                      qop.attrs["padding"])
+            acc = jax.lax.dot_general(
+                p.reshape(ho * wo, kh * kw * ci),
+                k.reshape(kh * kw * ci, co).astype(jnp.int32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).reshape(ho, wo, co)
+        return self._epilogue(qop, consts, acc)[None]
+
+    def _dw_conv(self, qop, consts, x):
+        key = qop.attrs["kkey"]
+        k = consts[f"{key}/kernel"]                    # (kh, kw, 1, C)
+        kh, kw, _, c = k.shape
+        xs = x.astype(jnp.int32) - qop.attrs["in_zp"]
+        p, ho, wo = self._patches(xs, kh, kw, qop.attrs["stride"],
+                                  qop.attrs["dilation"],
+                                  qop.attrs["padding"])
+        p = p.reshape(ho, wo, kh * kw, c)
+        acc = (p * k.reshape(kh * kw, c).astype(jnp.int32)).sum(axis=2)
+        return self._epilogue(qop, consts, acc)[None]
+
+    def _fc(self, qop, consts, x):
+        key = qop.attrs["kkey"]
+        k = consts[f"{key}/kernel"]                    # (I, O)
+        x2 = x.reshape(-1, k.shape[0])
+        if self._use_mxu():
+            acc = jax.lax.dot_general(x2, k, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            if qop.attrs["offkey"] is not None:
+                acc = acc - consts[f"{key}/off"]
+        else:
+            xs = x2.astype(jnp.int32) - qop.attrs["in_zp"]
+            acc = jax.lax.dot_general(xs, k.astype(jnp.int32),
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+        return self._epilogue(qop, consts, acc)
+
+    def _epilogue(self, qop, consts, acc):
+        key = qop.attrs["kkey"]
+        if f"{key}/bias" in consts:
+            acc = acc + consts[f"{key}/bias"]
+        out = intmath.multiply_by_quantized_multiplier(
+            acc, consts[f"{key}/m0"], consts[f"{key}/shift"])
+        out = out + qop.attrs["out_zp"]
+        lo, hi = qop.attrs["act"]
+        return jnp.clip(out, lo, hi).astype(jnp.int8)
+
+    def _add_sub(self, qop, a, b):
+        at = qop.attrs
+        sh = at["left_shift"]
+        v1 = (a.astype(jnp.int32) - at["z1"]) << sh
+        v2 = (b.astype(jnp.int32) - at["z2"]) << sh
+        s1 = intmath.multiply_by_quantized_multiplier(v1, *at["m1"])
+        s2 = intmath.multiply_by_quantized_multiplier(v2, *at["m2"])
+        raw = s1 + s2 if qop.code == ADD else s1 - s2
+        out = intmath.multiply_by_quantized_multiplier(raw, *at["mo"]) \
+            + at["zo"]
+        lo, hi = at["act"]
+        return jnp.clip(out, lo, hi).astype(jnp.int8)
+
+    def apply(self, consts, x, return_env: bool = False):
+        env: Dict[int, Any] = {self.input_idx: x}
+
+        def get(ti):
+            if ti in env:
+                return env[ti]
+            return jnp.asarray(self._const_idx[ti])
+
+        for qop in self.ops:
+            i = qop.inputs
+            if qop.code == CONV:
+                out = self._conv(qop, consts, get(i[0]))
+            elif qop.code == DW_CONV:
+                out = self._dw_conv(qop, consts, get(i[0]))
+            elif qop.code == FC:
+                out = self._fc(qop, consts, get(i[0]))
+            elif qop.code in (ADD, SUB):
+                out = self._add_sub(qop, get(i[0]), get(i[1]))
+            elif qop.code == MUL:
+                at = qop.attrs
+                prod = (get(i[0]).astype(jnp.int32) - at["z1"]) \
+                    * (get(i[1]).astype(jnp.int32) - at["z2"])
+                out = intmath.multiply_by_quantized_multiplier(
+                    prod, *at["mo"]) + at["zo"]
+                lo, hi = at["act"]
+                out = jnp.clip(out, lo, hi).astype(jnp.int8)
+            elif qop.code == QUANTIZE:
+                at = qop.attrs
+                v = get(i[0]).astype(jnp.int32) - at["zi"]
+                out = intmath.multiply_by_quantized_multiplier(
+                    v, *at["mo"]) + at["zo"]
+                out = jnp.clip(out, at["qmin"], at["qmax"]).astype(jnp.int8)
+            elif qop.code == DEQUANTIZE:
+                at = qop.attrs
+                out = (get(i[0]).astype(jnp.float32) - at["zp"]) \
+                    * np.float32(at["scale"])
+            elif qop.code == LOGISTIC:
+                lut = consts[f"{qop.attrs['kkey']}/lut"]
+                out = jnp.take(lut, get(i[0]).astype(jnp.int32) + 128)
+            elif qop.code == MAX_POOL:
+                out = self._pool(qop, get(i[0]), reduce_max=True)
+            elif qop.code == AVG_POOL:
+                out = self._pool(qop, get(i[0]), reduce_max=False)
+            elif qop.code == CONCAT:
+                out = jnp.concatenate([get(t) for t in i],
+                                      axis=qop.attrs["axis"])
+            elif qop.code == RESHAPE:
+                out = get(i[0]).reshape(qop.attrs["shape"])
+            elif qop.code == PAD_OP:
+                pads = [tuple(r) for r in qop.attrs["pads"]]
+                out = jnp.pad(get(i[0]), pads,
+                              constant_values=qop.attrs["value"])
+            elif qop.code == SOFTMAX:
+                out = jax.nn.softmax(get(i[0]), axis=-1)
+            else:                                      # pragma: no cover
+                raise NotImplementedError(qop.code)
+            env[qop.outputs[0]] = out
+        if return_env:
+            return env
+        return [env[t] for t in self.output_idxs]
+
+    def _pool(self, qop, x, reduce_max: bool):
+        kh, kw = qop.attrs["ksize"]
+        sh, sw = qop.attrs["stride"]
+        h, w = x.shape[1], x.shape[2]
+        ho, pt, pb = _padding_amounts(h, kh, sh, qop.attrs["padding"])
+        wo, pl, pr = _padding_amounts(w, kw, sw, qop.attrs["padding"])
+        if reduce_max:
+            xp = jnp.pad(x[0].astype(jnp.int32), ((pt, pb), (pl, pr),
+                                                  (0, 0)),
+                         constant_values=-128)
+            acc = None
+            for dy in range(kh):
+                for dx in range(kw):
+                    tap = xp[dy: dy + (ho - 1) * sh + 1: sh,
+                             dx: dx + (wo - 1) * sw + 1: sw, :]
+                    acc = tap if acc is None else jnp.maximum(acc, tap)
+            lo, hi = qop.attrs["act"]
+            return jnp.clip(acc, lo, hi).astype(jnp.int8)[None]
+        # AVERAGE_POOL int8: sum over the IN-BOUNDS window, rounded divide
+        # by the in-bounds count (reference pooling.h)
+        xp = jnp.pad(x[0].astype(jnp.int32), ((pt, pb), (pl, pr), (0, 0)))
+        mask = jnp.pad(jnp.ones((h, w, 1), jnp.int32),
+                       ((pt, pb), (pl, pr), (0, 0)))
+        acc = jnp.zeros((ho, wo, x.shape[3]), jnp.int32)
+        cnt = jnp.zeros((ho, wo, 1), jnp.int32)
+        for dy in range(kh):
+            for dx in range(kw):
+                acc = acc + xp[dy: dy + (ho - 1) * sh + 1: sh,
+                               dx: dx + (wo - 1) * sw + 1: sw, :]
+                cnt = cnt + mask[dy: dy + (ho - 1) * sh + 1: sh,
+                                 dx: dx + (wo - 1) * sw + 1: sw, :]
+        # round(acc / cnt) half away from zero in integers
+        out = jnp.where(acc >= 0, (acc + cnt // 2) // cnt,
+                        -((-acc + cnt // 2) // cnt))
+        lo, hi = qop.attrs["act"]
+        return jnp.clip(out, lo, hi).astype(jnp.int8)[None]
+
+    # ---- convenience ----
+
+    def jitted(self):
+        return jax.jit(self.apply)
+
+    def output_meta(self):
+        return [self.meta[t] for t in self.output_idxs]
+
+    def dequantize_outputs(self, outs):
+        """Exact dequantization of integer outputs (float outputs pass
+        through): what the interpreter's output_details scale/zp do."""
+        res = []
+        for arr, m in zip(outs, self.output_meta()):
+            if m.scale is not None and arr.dtype != jnp.float32:
+                res.append((arr.astype(jnp.float32) - float(m.zp[0]))
+                           * np.float32(m.scale[0]))
+            else:
+                res.append(arr)
+        return res

@@ -1,0 +1,234 @@
+"""Integer-exact quantized-graph execution (models/qgraph.py).
+
+The reference's real artifacts are full-integer TFLite models executed on
+the EdgeTPU's integer datapath (tools/ssd_mobilenet.py:100-103). These
+tests prove our XLA replay of that datapath is bit-exact:
+
+  1. the gemmlowp fixed-point primitives (ops/intmath.py, int64-free limb
+     arithmetic) match an int64 numpy oracle on every edge case;
+  2. a full-integer export of a small-but-complete conv net (conv, dw,
+     relu6, residual add, preprocessing mul/sub, reshape, fc) produces
+     EVERY intermediate tensor byte-equal to the stock tf.lite.Interpreter
+     running the same flatbuffer;
+  3. both conv implementations (portable int32 and the int8-MXU im2col +
+     static zero-point offset map) agree exactly;
+  4. the FULL-architecture int8 SSD-MobileNetV1 artifact (the existing
+     full-integer fidelity export) runs byte-exact end to end.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from deepdish_tpu.ops import intmath
+from deepdish_tpu.models.qgraph import QGraphExecutor
+
+
+def _tf():
+    return pytest.importorskip("tensorflow")
+
+
+# ---------------------------------------------------------------------------
+# 1. fixed-point primitives vs int64 oracle
+# ---------------------------------------------------------------------------
+
+def test_srdhm_matches_int64_oracle(rng):
+    edge = np.array([0, 1, -1, 2, -2, (1 << 30), -(1 << 30),
+                     (1 << 31) - 1, -(1 << 31), 0x40000000, 0x7FFFFFFE],
+                    np.int64).astype(np.int32)
+    a = np.concatenate([edge, rng.randint(-2**31, 2**31, 4096,
+                                          np.int64).astype(np.int32)])
+    m = np.concatenate([edge[::-1], rng.randint(-2**31, 2**31, 4096,
+                                                np.int64).astype(np.int32)])
+    got = np.asarray(intmath.saturating_rounding_doubling_high_mul(
+        jnp.asarray(a), jnp.asarray(m)))
+    np.testing.assert_array_equal(got, intmath.np_srdhm(a, m))
+
+
+def test_rdbp_matches_int64_oracle(rng):
+    x = rng.randint(-2**31, 2**31, 4096, np.int64).astype(np.int32)
+    for e in (0, 1, 5, 17, 31):
+        got = np.asarray(intmath.rounding_divide_by_pot(jnp.asarray(x), e))
+        np.testing.assert_array_equal(got, intmath.np_rdbp(x, e),
+                                      err_msg=f"exponent {e}")
+
+
+def test_mbqm_matches_oracle_per_channel(rng):
+    # the conv epilogue shape: acc (N, C) with per-channel multipliers;
+    # scales spanning shift > 0 (t <= 31), == 0, and deep-negative shifts
+    # (t > 32) to cover every branch of the limb funnel shift
+    acc = rng.randint(-2**24, 2**24, (64, 32), np.int64).astype(np.int32)
+    scales = np.concatenate([rng.uniform(1e-9, 1e-4, 8),
+                             rng.uniform(1e-4, 0.9, 8),
+                             rng.uniform(0.9, 1.1, 8),
+                             rng.uniform(2.0, 900.0, 8)])
+    m0 = np.asarray([intmath.quantize_multiplier(s)[0] for s in scales],
+                    np.int32)
+    sh = np.asarray([intmath.quantize_multiplier(s)[1] for s in scales],
+                    np.int32)
+    got = np.asarray(intmath.multiply_by_quantized_multiplier(
+        jnp.asarray(acc), jnp.asarray(m0), jnp.asarray(sh)))
+    np.testing.assert_array_equal(got, intmath.np_mbqm(acc, m0, sh))
+    got_s = np.asarray(intmath.multiply_by_quantized_multiplier_single(
+        jnp.asarray(acc), jnp.asarray(m0), jnp.asarray(sh)))
+    np.testing.assert_array_equal(got_s, intmath.np_mbqm_single(acc, m0, sh))
+
+
+def test_quantize_multiplier_contract():
+    for v in (0.25, 0.5, 0.9999, 1e-8, 0.0078125, 123.456):
+        m0, sh = intmath.quantize_multiplier(v)
+        if m0:
+            assert 2**30 <= m0 < 2**31
+            assert abs(m0 * 2.0**(sh - 31) - v) < v * 1e-9
+    assert intmath.quantize_multiplier(0.0) == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# 2/3. small full-integer graph: every tensor byte-exact vs the interpreter
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_int8_tflite(tmp_path_factory):
+    tf = _tf()
+    rng = np.random.RandomState(5)
+    k0 = rng.normal(0, 0.4, (3, 3, 3, 8)).astype(np.float32)
+    kd = rng.normal(0, 0.4, (3, 3, 8, 1)).astype(np.float32)
+    kp = rng.normal(0, 0.4, (1, 1, 8, 8)).astype(np.float32)
+    kf = rng.normal(0, 0.2, (8 * 8 * 8, 10)).astype(np.float32)
+    b0 = rng.normal(0, 0.1, 8).astype(np.float32)
+
+    class M(tf.Module):
+        @tf.function(input_signature=[
+            tf.TensorSpec((1, 16, 16, 3), tf.float32)])
+        def __call__(self, img):
+            x = img * (2.0 / 255.0) - 1.0                  # MUL + SUB
+            x = tf.nn.conv2d(x, k0, 2, "SAME") + b0        # CONV stride 2
+            x = tf.nn.relu6(x)
+            y = tf.nn.depthwise_conv2d(x, kd, (1, 1, 1, 1), "SAME")
+            y = tf.nn.relu6(y)
+            y = tf.nn.conv2d(y, kp, 1, "SAME")
+            x = x + y                                      # residual ADD
+            x = tf.reshape(x, (1, -1))
+            return tf.matmul(x, kf)                        # FC
+
+    m = M()
+    conv = tf.lite.TFLiteConverter.from_concrete_functions(
+        [m.__call__.get_concrete_function()], m)
+
+    def _rep():
+        r = np.random.RandomState(1)
+        for _ in range(8):
+            yield [r.uniform(0, 255, (1, 16, 16, 3)).astype(np.float32)]
+
+    conv.optimizations = [tf.lite.Optimize.DEFAULT]
+    conv.representative_dataset = _rep
+    conv.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS_INT8]
+    conv.inference_input_type = tf.uint8
+    conv.inference_output_type = tf.float32
+    path = str(tmp_path_factory.mktemp("q") / "tiny_int8.tflite")
+    with open(path, "wb") as f:
+        f.write(conv.convert())
+    return path
+
+
+def _run_interpreter_all(tf, path, x_uint8, resolver="BUILTIN_REF"):
+    """BUILTIN_REF = TFLite's reference kernels: the spec semantics
+    (gemmlowp fixed-point requant) that quantized hardware like the
+    EdgeTPU implements, and the byte-exactness target here. The default
+    resolver delegates to XNNPACK, whose fp32-requant convs round to
+    nearest-even and may differ by 1 LSB (asserted separately)."""
+    rt = getattr(tf.lite.experimental.OpResolverType, resolver)
+    ip = tf.lite.Interpreter(model_path=path,
+                             experimental_op_resolver_type=rt,
+                             experimental_preserve_all_tensors=True)
+    ip.allocate_tensors()
+    din = ip.get_input_details()[0]
+    ip.set_tensor(din["index"], x_uint8)
+    ip.invoke()
+    return ip
+
+
+def test_tiny_int8_every_tensor_exact(tiny_int8_tflite, rng):
+    tf = _tf()
+    ex = QGraphExecutor(tiny_int8_tflite, conv_impl="portable")
+    x = rng.randint(0, 256, (1, 16, 16, 3)).astype(np.uint8)
+    ip = _run_interpreter_all(tf, tiny_int8_tflite, x)
+    env = ex.apply(ex.consts, jnp.asarray(x), return_env=True)
+    checked = 0
+    for qop in ex.ops:
+        ti = qop.outputs[0]
+        ours = np.asarray(env[ti])
+        ref = ip.get_tensor(ti)
+        np.testing.assert_array_equal(
+            ours, ref, err_msg=f"tensor {ex.meta[ti].name} "
+            f"(op {qop.code})")
+        checked += 1
+    assert checked >= 8     # mul, sub, conv, dw, conv, add, reshape, fc
+
+
+def test_tiny_int8_within_1lsb_of_xnnpack(tiny_int8_tflite, rng):
+    """The stock interpreter's default path (XNNPACK delegate) requantizes
+    convs in fp32 (round-to-nearest-even) and so can differ from the spec
+    arithmetic by 1 LSB on ties; our integer replay must stay within that
+    bound of it (and byte-equal to the reference kernels, above)."""
+    tf = _tf()
+    ex = QGraphExecutor(tiny_int8_tflite, conv_impl="portable")
+    x = rng.randint(0, 256, (1, 16, 16, 3)).astype(np.uint8)
+    ip = _run_interpreter_all(tf, tiny_int8_tflite, x, resolver="BUILTIN")
+    env = ex.apply(ex.consts, jnp.asarray(x), return_env=True)
+    for qop in ex.ops:
+        ti = qop.outputs[0]
+        ours = np.asarray(env[ti])
+        ref = ip.get_tensor(ti)
+        if ours.dtype == np.float32:
+            scale = float(ex.meta[qop.inputs[0]].scale[0])
+            assert np.max(np.abs(ours - ref)) <= scale + 1e-7
+        else:
+            assert np.max(np.abs(ours.astype(np.int64)
+                                 - ref.astype(np.int64))) <= 1
+
+
+def test_tiny_int8_conv_paths_agree(tiny_int8_tflite, rng):
+    ex_p = QGraphExecutor(tiny_int8_tflite, conv_impl="portable")
+    ex_m = QGraphExecutor(tiny_int8_tflite, conv_impl="mxu")
+    x = jnp.asarray(rng.randint(0, 256, (1, 16, 16, 3)).astype(np.uint8))
+    for a, b in zip(ex_p.apply(ex_p.consts, x),
+                    ex_m.apply(ex_m.consts, x)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tiny_int8_jitted_outputs_exact(tiny_int8_tflite, rng):
+    tf = _tf()
+    ex = QGraphExecutor(tiny_int8_tflite, conv_impl="portable")
+    x = rng.randint(0, 256, (1, 16, 16, 3)).astype(np.uint8)
+    ip = _run_interpreter_all(tf, tiny_int8_tflite, x)
+    dout = ip.get_output_details()[0]
+    outs = ex.jitted()(ex.consts, jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(outs[0]),
+                                  ip.get_tensor(dout["index"]))
+
+
+# ---------------------------------------------------------------------------
+# 4. the full-architecture int8 SSD artifact, byte-exact end to end
+# ---------------------------------------------------------------------------
+
+@pytest.mark.timeout(900)
+def test_full_ssd_int8_byte_exact(tmp_path, rng):
+    tf = _tf()
+    from test_pipeline_real_tflite import _make_full_ssd_tflite
+    path = _make_full_ssd_tflite(tmp_path, full_int8=True)
+    ex = QGraphExecutor(path, conv_impl="portable")
+    x = rng.randint(0, 256, (1, 300, 300, 3)).astype(np.uint8)
+    ip = _run_interpreter_all(tf, path, x)
+    outs = [np.asarray(o) for o in ex.jitted()(ex.consts, jnp.asarray(x))]
+    douts = ip.get_output_details()
+    assert len(outs) == len(douts)
+    # graph outputs are float32 (DEQUANTIZE tail): byte-exact means the
+    # float bit patterns match, since the dequant arithmetic is identical
+    by_name = {ex.meta[t].name: o
+               for t, o in zip(ex.output_idxs, outs)}
+    for d in douts:
+        ref = ip.get_tensor(d["index"])
+        ours = by_name[d["name"]]
+        np.testing.assert_array_equal(
+            ours, ref, err_msg=f"output {d['name']}")
