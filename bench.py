@@ -166,8 +166,12 @@ def main():
     H, W = 720, 1280
     # --model takes a weight file (converted through the registry) OR a
     # bare family name (yolov5 / yolov3 / efficientdet / ssd_mobilenet,
-    # random-init) so every detector family's throughput is benchable
-    det = create_detector(model or "ssd_mobilenet", max_outputs=32)
+    # random-init) so every detector family's throughput is benchable.
+    # --quantized runs a full-integer --model artifact on the integer
+    # datapath (int8 MXU, models/qgraph.py) instead of dequantized bf16.
+    quantized = "--quantized" in sys.argv
+    det = create_detector(model or "ssd_mobilenet", max_outputs=32,
+                          quantized=quantized)
     fam = (model or "ssd_mobilenet").lower()
     family = ("YOLOv5s" if "yolov5" in fam else
               "YOLOv3" if "yolo" in fam else
@@ -314,6 +318,8 @@ def main():
     src = "synthetic" if loader is None else "mp4-native-decode"
     if model:
         src += f", weights={os.path.basename(model)}"
+    if quantized:
+        family += "-int8"
     print(json.dumps({
         "metric": f"720p offline FPS decode->count ({family}+MARS+"
                   f"DeepSORT fused, chunk={chunk}"

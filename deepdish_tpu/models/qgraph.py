@@ -613,3 +613,88 @@ class QGraphExecutor:
             else:
                 res.append(arr)
         return res
+
+
+class QuantizedSSDDetector:
+    """SSD detector on the INTEGER datapath — the serving mode that runs
+    the reference's full-integer artifacts with the interpreter's own
+    arithmetic (tools/ssd_mobilenet.py:100-127): uint8 frame in, int8 MXU
+    convolutions, byte-exact head tensors, then the shared native decode +
+    NMS (ssd_mobilenet.postprocess_detections). Uniform detector contract
+    (registry.py): width/height, params (the executor's const pytree),
+    detect(params, resized, orig_w, orig_h) -> fixed-capacity detections.
+
+    The head tensors are bit-equal to the TFLite reference kernels'
+    (tests/test_qgraph.py); detections can still differ from the reference
+    app at the pipeline level exactly as the float path's do (PIL vs MXU
+    resize)."""
+
+    def __init__(self, model_path: str, max_outputs: int = 32,
+                 top_k: int = 100, score_threshold: float = 0.5,
+                 iou_threshold: float = 0.5, conv_impl: str = "auto",
+                 anchors=None, box_scale=None, detections_cap=None):
+        from .ssd_mobilenet import BOX_SCALE, generate_anchors
+        from .convert import read_tflite_io_quant
+        io = read_tflite_io_quant(model_path)
+        in_dt = next(iter(io.values()))[0] if io else None
+        if in_dt not in (np.uint8, np.int8):
+            raise ValueError(
+                f"{model_path} is not a full-integer artifact (input tensor "
+                f"is {in_dt}); the quantized path needs a full-integer "
+                "export — use the float converter otherwise")
+        ex = QGraphExecutor(model_path, conv_impl=conv_impl)
+        in_meta = ex.meta[ex.input_idx]
+        self.executor = ex
+        self.height, self.width = int(in_meta.shape[1]), int(in_meta.shape[2])
+        self.params = ex.consts
+        self.anchors = jnp.asarray(anchors if anchors is not None
+                                   else generate_anchors())
+        self.box_scale = tuple(box_scale) if box_scale else BOX_SCALE
+        self.max_outputs = max_outputs
+        self.top_k = top_k
+        self.score_threshold = score_threshold
+        self.iou_threshold = iou_threshold
+        self.detections_cap = detections_cap
+        # zoo-layout exports run sigmoid in-graph before the fused
+        # postprocess op; raw-heads exports end at the (dequantized) logits
+        self._heads_are_probs = ex.stopped_at_custom
+        self._in_int8 = in_meta.dtype == np.int8
+        self._in_zp = int(in_meta.zp[0]) if in_meta.zp is not None else 0
+
+    def detect(self, params, image_resized, orig_w, orig_h):
+        from .ssd_mobilenet import decode_boxes, postprocess_detections
+        x = image_resized
+        if x.dtype != jnp.uint8:
+            # the pipeline's MXU resize produces float; the integer graph's
+            # input is the quantized image itself (scale/zp map raw pixels),
+            # so nearest-uint8 IS the exact quantization step
+            x = jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
+        if self._in_int8:
+            # int8-input exports: identical lattice shifted by 128
+            x = (x.astype(jnp.int32) - 128).astype(jnp.int8)
+        outs = self.executor.dequantize_outputs(
+            self.executor.apply(params, x[None]))
+        box_enc = scores = None
+        for o in outs:
+            if o.shape[-1] == 4:
+                box_enc = o.reshape(-1, 4)
+            else:
+                scores = o.reshape(o.shape[-2] if o.ndim >= 2 else -1,
+                                   o.shape[-1])
+        if box_enc is None or scores is None:
+            raise ValueError("could not identify box/score head tensors in "
+                             f"{[tuple(o.shape) for o in outs]}")
+        probs = scores if self._heads_are_probs else jax.nn.sigmoid(scores)
+        probs = probs[:, 1:]                           # strip background
+        boxes = decode_boxes(box_enc.astype(jnp.float32), self.anchors,
+                             self.box_scale)
+        return postprocess_detections(
+            boxes, probs.astype(jnp.float32), orig_w, orig_h,
+            top_k=self.top_k, score_threshold=self.score_threshold,
+            iou_threshold=self.iou_threshold, max_outputs=self.max_outputs,
+            detections_cap=self.detections_cap)
+
+    def detect_jit(self, image_resized, orig_w, orig_h):
+        if not hasattr(self, "_djit"):
+            self._djit = jax.jit(self.detect)
+        return self._djit(self.params, image_resized, orig_w, orig_h)

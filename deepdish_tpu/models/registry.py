@@ -137,7 +137,8 @@ def _load_real_weights(path: str, family: str):
 def create_detector(model_name: str, wanted_labels=None, label_file=None,
                     score_threshold: float = 0.5, params=None,
                     max_outputs: int = 32,
-                    allow_random_weights: bool = False, **kw):
+                    allow_random_weights: bool = False,
+                    quantized: bool = False, **kw):
     """Substring dispatch like deepdish.py:482-502. When `model_name` is an
     existing weight file (.tflite/.h5/.npz) the pre-trained weights are
     converted on load (models/convert.py) — the TPU-native replacement for
@@ -154,6 +155,37 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
             raise ValueError(f"no registered script for model {model_name!r}"
                              " (use models.registry.register_script)")
         return ScriptedDetector(script, wanted_labels=wanted_labels)
+    if quantized:
+        # --quantized-inference: run the full-integer artifact on the
+        # INTEGER datapath (models/qgraph.py) — the interpreter's own
+        # arithmetic on the MXU's int8 path — instead of dequantizing the
+        # weights to float. SSD/EdgeTPU-family .tflite files only.
+        if not (model_name and os.path.isfile(model_name)
+                and name.endswith(".tflite")):
+            raise ValueError(
+                "--quantized-inference needs an existing full-integer "
+                f".tflite artifact; got {model_name!r}")
+        if not ("ssd" in name or "mobilenet" in name or "edgetpu" in name):
+            raise NotImplementedError(
+                "--quantized-inference currently supports the SSD/EdgeTPU "
+                f"family only (got {model_name!r}); the float converter "
+                "handles the other families")
+        from . import convert as cvm
+        from .qgraph import QuantizedSSDDetector
+        det_kw = dict(score_threshold=score_threshold)
+        pp = cvm.read_tflite_postprocess(model_name)
+        if pp is not None:
+            # same authoritative fused-op configuration as the float path
+            det_kw.update(anchors=pp.anchors, box_scale=pp.scales,
+                          score_threshold=max(score_threshold,
+                                              pp.nms_score_threshold),
+                          iou_threshold=pp.nms_iou_threshold,
+                          detections_cap=pp.max_detections)
+        det = QuantizedSSDDetector(model_name, max_outputs=max_outputs,
+                                   **det_kw)
+        det.labels = {i: n for i, n in enumerate(load_labels(label_file))}
+        det.label_offset = 0
+        return det
     extras = {}
     if params is None and model_name and os.path.isfile(model_name):
         # 'edgetpu' names are Coral SSD exports (deepdish.py:483-485), so

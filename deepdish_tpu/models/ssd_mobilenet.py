@@ -159,6 +159,51 @@ def decode_boxes(box_encodings: jnp.ndarray, anchors: jnp.ndarray,
                       ycenter + h / 2, xcenter + w / 2], axis=1)
 
 
+def postprocess_detections(boxes, probs, orig_w, orig_h, *, top_k,
+                           score_threshold, iou_threshold, max_outputs,
+                           detections_cap=None):
+    """The reference SSD postprocess (tools/ssd_mobilenet.py:100-150) on
+    decoded boxes: NaN scrub -> top-K -> confidence filter -> reorder to
+    xyxy scaled to the original image -> per-class NMS -> fixed-capacity
+    compaction. boxes (N, 4) normalized yxyx; probs (N, C) with the
+    background column already stripped. Shared by the float detector and
+    the integer-exact quantized one (models/qgraph.py)."""
+    scores = jnp.max(probs, axis=1)
+    classes = jnp.argmax(probs, axis=1).astype(jnp.int32)
+
+    # NaN scrub (ssd_mobilenet.py:111-116): NaN boxes/scores -> score 0
+    bad = jnp.any(jnp.isnan(boxes), axis=1) | jnp.isnan(scores)
+    scores = jnp.where(bad, 0.0, scores)
+
+    # top-k + gathers as one-hot rank contractions: XLA's top_k/gather
+    # lowerings over the 1917-anchor axis serialize on TPU and cost
+    # ~0.9 ms/frame; the rank-matrix form is ~us (ops/onehot.py).
+    top_scores, idx = topk_desc(scores, top_k)
+    top_boxes = gather_rows(boxes, idx)
+    top_classes = gather_1d(classes, idx)
+    conf_ok = top_scores >= score_threshold
+
+    # reorder (ymin,xmin,ymax,xmax) -> (x1,y1,x2,y2) * original size
+    scale = jnp.stack([orig_w, orig_h, orig_w, orig_h]).astype(jnp.float32)
+    xyxy = top_boxes[:, np.array([1, 0, 3, 2])] * scale
+
+    _, keep = nmsops.nms_xyxy_per_class(
+        xyxy, top_scores, top_classes, conf_ok, iou_threshold)
+
+    # compact to max_outputs in descending-score order (top_k is sorted)
+    K = max_outputs
+    keep_key = jnp.where(keep, jnp.arange(top_k, dtype=jnp.int32),
+                         jnp.int32(top_k))
+    order = stable_argsort(keep_key)[:K]
+    valid = gather_1d(keep, order)
+    if detections_cap is not None and detections_cap < K:
+        # slots are in descending-score order, so this keeps exactly
+        # the boxes the fused op would have emitted
+        valid = valid & (np.arange(K) < detections_cap)
+    return (gather_rows(xyxy, order), gather_1d(top_classes, order),
+            gather_1d(top_scores, order), valid)
+
+
 class SSDMobileNetDetector:
     """Fused detect program with the reference's postprocessing:
     top-K -> NaN scrub -> confidence filter -> reorder to xyxy scaled to the
@@ -197,41 +242,12 @@ class SSDMobileNetDetector:
         box_enc, logits = self.net.apply(params, image_resized)
         boxes = decode_boxes(box_enc, self.anchors, self.box_scale)
         probs = jax.nn.sigmoid(logits)[:, 1:]  # strip background
-        scores = jnp.max(probs, axis=1)
-        classes = jnp.argmax(probs, axis=1).astype(jnp.int32)
-
-        # NaN scrub (ssd_mobilenet.py:111-116): NaN boxes/scores -> score 0
-        bad = jnp.any(jnp.isnan(boxes), axis=1) | jnp.isnan(scores)
-        scores = jnp.where(bad, 0.0, scores)
-
-        # top-k + gathers as one-hot rank contractions: XLA's top_k/gather
-        # lowerings over the 1917-anchor axis serialize on TPU and cost
-        # ~0.9 ms/frame; the rank-matrix form is ~us (ops/onehot.py).
-        k = self.top_k
-        top_scores, idx = topk_desc(scores, k)
-        top_boxes = gather_rows(boxes, idx)
-        top_classes = gather_1d(classes, idx)
-        conf_ok = top_scores >= self.score_threshold
-
-        # reorder (ymin,xmin,ymax,xmax) -> (x1,y1,x2,y2) * original size
-        scale = jnp.stack([orig_w, orig_h, orig_w, orig_h]).astype(jnp.float32)
-        xyxy = top_boxes[:, np.array([1, 0, 3, 2])] * scale
-
-        _, keep = nmsops.nms_xyxy_per_class(
-            xyxy, top_scores, top_classes, conf_ok, self.iou_threshold)
-
-        # compact to max_outputs in descending-score order (top_k is sorted)
-        K = self.max_outputs
-        keep_key = jnp.where(keep, jnp.arange(k, dtype=jnp.int32),
-                             jnp.int32(k))
-        order = stable_argsort(keep_key)[:K]
-        valid = gather_1d(keep, order)
-        if self.detections_cap is not None and self.detections_cap < K:
-            # slots are in descending-score order, so this keeps exactly
-            # the boxes the fused op would have emitted
-            valid = valid & (np.arange(K) < self.detections_cap)
-        return (gather_rows(xyxy, order), gather_1d(top_classes, order),
-                gather_1d(top_scores, order), valid)
+        return postprocess_detections(
+            boxes, probs, orig_w, orig_h, top_k=self.top_k,
+            score_threshold=self.score_threshold,
+            iou_threshold=self.iou_threshold,
+            max_outputs=self.max_outputs,
+            detections_cap=self.detections_cap)
 
     @functools.partial(jax.jit, static_argnums=0)
     def detect_jit(self, image_resized, orig_w, orig_h):

@@ -85,6 +85,11 @@ def build_parser() -> argparse.ArgumentParser:
     add('--allow-random-weights', default=False, action='store_true',
         help='if converting a --model weight file fails, run with '
              'random-init weights instead of aborting')
+    add('--quantized-inference', default=False, action='store_true',
+        help='run a full-integer .tflite --model on the integer datapath '
+             '(int8 MXU convolutions, TFLite-interpreter-exact head '
+             'tensors) instead of dequantizing its weights to float; '
+             'SSD/EdgeTPU-family artifacts')
     add('--disable-edgetpu', default=False, action='store_true',
         help='(TPU build: selects the CPU jax backend)')
     add('--encoder-model', metavar='FILE', default=None)

@@ -12,7 +12,9 @@ import signal
 import traceback
 
 from .config import get_arguments
-from .runtime import Pipeline
+# NOTE: .runtime (and through it jax-graph modules) is imported inside
+# amain AFTER the --device/--disable-edgetpu platform override is applied,
+# so package import can never initialize the wrong jax backend.
 
 
 class CommandServer(asyncio.DatagramProtocol):
@@ -33,8 +35,15 @@ async def amain(argv=None):
     if args.device:
         import jax
         jax.config.update('jax_platforms', args.device)
+    elif getattr(args, 'disable_edgetpu', False):
+        # the reference flag disables the accelerator and falls back to
+        # the CPU interpreter (deepdish.py:1397-1398); here that means
+        # the CPU jax backend, exactly as the flag's help promises
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
     from ..utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    from .runtime import Pipeline
 
     pipeline = Pipeline(args)
     loop = asyncio.get_event_loop()

@@ -158,7 +158,8 @@ class Pipeline:
             label_file=args.labels, score_threshold=args.score_threshold,
             max_outputs=max(args.max_detections, 32),
             allow_random_weights=getattr(args, 'allow_random_weights',
-                                         False))
+                                         False),
+            quantized=getattr(args, 'quantized_inference', False))
         enc_name = args.encoder_model or 'mars-64x32x3.pb'
         self.encoder = create_box_encoder(enc_name)
         # Live mode (camera: frames may drop, latency is user-visible) must

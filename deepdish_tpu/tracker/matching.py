@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.assignment import solve_lsap
 from ..ops.onehot import (gather_1d, gather_rows, scatter_rows_unique,
@@ -34,7 +35,11 @@ def _solve(cost, n_rows, n_cols, impl: str):
         return solve_lsap_pallas(cost, n_rows, n_cols, interpret=True)
     return solve_lsap(cost, n_rows, n_cols)
 
-_BIGKEY = jnp.int32(2 ** 30)
+# np scalar, NOT a jnp array: a module-level jnp constant would
+# initialize the jax backend at import time, before the CLI's
+# --device/--disable-edgetpu platform override can run (and on a
+# wedged accelerator tunnel that init blocks forever)
+_BIGKEY = np.int32(2 ** 30)
 _PAD_COST = 7e7
 
 

@@ -18,6 +18,7 @@ tests prove our XLA replay of that datapath is bit-exact:
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from deepdish_tpu.ops import intmath
@@ -212,11 +213,17 @@ def test_tiny_int8_jitted_outputs_exact(tiny_int8_tflite, rng):
 # 4. the full-architecture int8 SSD artifact, byte-exact end to end
 # ---------------------------------------------------------------------------
 
-@pytest.mark.timeout(900)
-def test_full_ssd_int8_byte_exact(tmp_path, rng):
-    tf = _tf()
+@pytest.fixture(scope="module")
+def ssd_int8_tflite(tmp_path_factory):
     from test_pipeline_real_tflite import _make_full_ssd_tflite
-    path = _make_full_ssd_tflite(tmp_path, full_int8=True)
+    return _make_full_ssd_tflite(tmp_path_factory.mktemp("ssdq"),
+                                 full_int8=True)
+
+
+@pytest.mark.timeout(900)
+def test_full_ssd_int8_byte_exact(ssd_int8_tflite, rng):
+    tf = _tf()
+    path = ssd_int8_tflite
     ex = QGraphExecutor(path, conv_impl="portable")
     x = rng.randint(0, 256, (1, 300, 300, 3)).astype(np.uint8)
     ip = _run_interpreter_all(tf, path, x)
@@ -232,3 +239,85 @@ def test_full_ssd_int8_byte_exact(tmp_path, rng):
         ours = by_name[d["name"]]
         np.testing.assert_array_equal(
             ours, ref, err_msg=f"output {d['name']}")
+
+
+# ---------------------------------------------------------------------------
+# 5. the serving integration: registry dispatch, exact decode, FrameStep
+# ---------------------------------------------------------------------------
+
+def test_quantized_detector_registry_and_exact_decode(ssd_int8_tflite, rng):
+    """create_detector(..., quantized=True) returns the integer-datapath
+    detector, and its detections equal the shared native postprocess run
+    on the INTERPRETER's own head tensors — i.e. the only difference from
+    the interpreter is the (byte-exact) integer graph, so none."""
+    tf = _tf()
+    from deepdish_tpu.models import create_detector
+    from deepdish_tpu.models.qgraph import QuantizedSSDDetector
+    from deepdish_tpu.models.ssd_mobilenet import (decode_boxes,
+                                                   postprocess_detections)
+    det = create_detector(ssd_int8_tflite, quantized=True,
+                          score_threshold=0.3, max_outputs=16)
+    assert isinstance(det, QuantizedSSDDetector)
+    assert (det.width, det.height) == (300, 300)
+    x = rng.randint(0, 256, (300, 300, 3)).astype(np.uint8)
+    xyxy, classes, scores, valid = det.detect_jit(
+        jnp.asarray(x), jnp.float32(640), jnp.float32(360))
+    assert xyxy.shape == (16, 4) and valid.dtype == bool
+
+    # same decode on the interpreter's head tensors must agree exactly
+    ip = _run_interpreter_all(tf, ssd_int8_tflite, x[None])
+    heads = [ip.get_tensor(d["index"]) for d in ip.get_output_details()]
+    box_enc = next(h for h in heads if h.shape[-1] == 4).reshape(-1, 4)
+    logits = next(h for h in heads if h.shape[-1] != 4)
+    logits = logits.reshape(-1, logits.shape[-1])
+    probs = jax.nn.sigmoid(jnp.asarray(logits))[:, 1:]
+    boxes = decode_boxes(jnp.asarray(box_enc), det.anchors, det.box_scale)
+    ref = postprocess_detections(
+        boxes, probs, jnp.float32(640), jnp.float32(360),
+        top_k=det.top_k, score_threshold=det.score_threshold,
+        iou_threshold=det.iou_threshold, max_outputs=det.max_outputs,
+        detections_cap=det.detections_cap)
+    # the head tensors are byte-equal; the remaining delta is only XLA's
+    # float reassociation between the jitted fused decode and the unjitted
+    # mirror here (1e-6 relative)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref[3]))
+    np.testing.assert_allclose(np.asarray(xyxy), np.asarray(ref[0]),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(ref[2]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_quantized_detector_rejects_float_artifact(tmp_path):
+    from test_pipeline_real_tflite import _make_full_ssd_tflite
+    from deepdish_tpu.models.qgraph import QuantizedSSDDetector
+    fpath = _make_full_ssd_tflite(tmp_path)          # float export
+    with pytest.raises(ValueError, match="full-integer"):
+        QuantizedSSDDetector(fpath)
+
+
+def test_quantized_detector_drives_framestep(ssd_int8_tflite):
+    """The integer program composes into the fused FrameStep (float frame
+    in, uint8 quantization inside, int8 MXU net, shared tail)."""
+    from deepdish_tpu import tracker as tt
+    from deepdish_tpu.models import create_box_encoder, create_detector
+    from deepdish_tpu.pipeline import FrameStep, FrameStepConfig
+    det = create_detector(ssd_int8_tflite, quantized=True,
+                          score_threshold=0.3, max_outputs=16)
+    enc = create_box_encoder("dummy")
+    cfg = tt.TrackerConfig(max_tracks=8, max_detections=8,
+                           gallery_size=8, num_labels=2)
+    fs = FrameStep(det, enc, cfg, ["person", "car"], (240, 320),
+                   FrameStepConfig(encode_capacity=4))
+    state = fs.init_state()
+    frame = np.random.RandomState(2).randint(
+        0, 255, (240, 320, 3)).astype(np.uint8)
+    state, out, snap, raw = fs.step(state, jnp.asarray(frame))
+    assert np.asarray(snap.valid).shape[0] == 8
+
+
+def test_cli_flag_quantized_inference_parses():
+    from deepdish_tpu.pipeline.config import get_arguments
+    args = get_arguments(["--quantized-inference", "--model", "x.tflite"])
+    assert args.quantized_inference is True
+    args = get_arguments(["--model", "x.tflite"])
+    assert args.quantized_inference is False
