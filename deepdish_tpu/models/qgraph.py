@@ -46,12 +46,14 @@ from ..ops import intmath
 ADD, AVG_POOL, CONCAT, CONV, DW_CONV = 0, 1, 2, 3, 4
 DEQUANTIZE, FC, LOGISTIC, MAX_POOL, MUL = 6, 9, 14, 17, 18
 RESHAPE, SOFTMAX, CUSTOM, PAD_OP, SUB, QUANTIZE = 22, 25, 32, 34, 41, 114
+STRIDED_SLICE, TILE, RESIZE_NN = 45, 69, 97
 
 _OP_NAMES = {0: "ADD", 1: "AVERAGE_POOL_2D", 2: "CONCATENATION",
              3: "CONV_2D", 4: "DEPTHWISE_CONV_2D", 6: "DEQUANTIZE",
              9: "FULLY_CONNECTED", 14: "LOGISTIC", 17: "MAX_POOL_2D",
              18: "MUL", 22: "RESHAPE", 25: "SOFTMAX", 34: "PAD",
-             41: "SUB", 114: "QUANTIZE"}
+             41: "SUB", 45: "STRIDED_SLICE", 69: "TILE",
+             97: "RESIZE_NEAREST_NEIGHBOR", 114: "QUANTIZE"}
 
 _NP_DT = {0: np.float32, 2: np.int32, 3: np.uint8, 4: np.int64,
           7: np.int16, 9: np.int8}
@@ -346,6 +348,56 @@ class QGraphExecutor:
         elif code == RESHAPE:
             qop.attrs.update(shape=meta_out.shape)
 
+        elif code == TILE:
+            # pure data movement: quant params pass through unchanged
+            qop.attrs.update(
+                multiples=tuple(int(v) for v in
+                                self._const_idx[qop.inputs[1]].ravel()))
+
+        elif code == STRIDED_SLICE:
+            o = fb.StridedSliceOptions()
+            o.Init(op.BuiltinOptions().Bytes, op.BuiltinOptions().Pos)
+            if o.EllipsisMask() or o.NewAxisMask() or o.ShrinkAxisMask():
+                raise NotImplementedError(
+                    "STRIDED_SLICE with ellipsis/new-axis/shrink masks")
+            begin = self._const_idx[qop.inputs[1]].astype(int).ravel()
+            end = self._const_idx[qop.inputs[2]].astype(int).ravel()
+            strides = self._const_idx[qop.inputs[3]].astype(int).ravel()
+            if not np.all(strides == 1):
+                raise NotImplementedError("STRIDED_SLICE with stride != 1")
+            in_shape = self.meta[qop.inputs[0]].shape
+            slices = []
+            for d in range(len(begin)):
+                b = 0 if (o.BeginMask() >> d) & 1 else int(begin[d])
+                e = in_shape[d] if (o.EndMask() >> d) & 1 else int(end[d])
+                if b < 0:
+                    b += in_shape[d]
+                if e < 0:
+                    e += in_shape[d]
+                slices.append(slice(b, e))
+            qop.attrs.update(slices=tuple(slices))
+
+        elif code == RESIZE_NN:
+            o = fb.ResizeNearestNeighborOptions()
+            o.Init(op.BuiltinOptions().Bytes, op.BuiltinOptions().Pos)
+            size = self._const_idx[qop.inputs[1]].astype(int).ravel()
+            in_shape = self.meta[qop.inputs[0]].shape
+            # TFLite reference nearest-neighbor index math
+            # (reference_ops::ResizeNearestNeighbor): scale = in/out;
+            # align_corners and half_pixel_centers change the offset
+            def idx(n_in, n_out):
+                i = np.arange(n_out, dtype=np.float64)
+                if o.HalfPixelCenters():
+                    src = (i + 0.5) * (n_in / n_out)
+                    return np.clip(np.floor(src).astype(int), 0, n_in - 1)
+                if o.AlignCorners() and n_out > 1:
+                    src = np.round(i * (n_in - 1) / (n_out - 1))
+                    return np.clip(src.astype(int), 0, n_in - 1)
+                src = np.floor(i * (n_in / n_out))
+                return np.clip(src.astype(int), 0, n_in - 1)
+            qop.attrs.update(rows=idx(in_shape[1], int(size[0])),
+                             cols=idx(in_shape[2], int(size[1])))
+
         elif code == PAD_OP:
             pads = self._const_idx[qop.inputs[1]].astype(int)
             _, zi = self._q(qop.inputs[0])
@@ -505,57 +557,69 @@ class QGraphExecutor:
             return jnp.asarray(self._const_idx[ti])
 
         for qop in self.ops:
-            i = qop.inputs
-            if qop.code == CONV:
-                out = self._conv(qop, consts, get(i[0]))
-            elif qop.code == DW_CONV:
-                out = self._dw_conv(qop, consts, get(i[0]))
-            elif qop.code == FC:
-                out = self._fc(qop, consts, get(i[0]))
-            elif qop.code in (ADD, SUB):
-                out = self._add_sub(qop, get(i[0]), get(i[1]))
-            elif qop.code == MUL:
-                at = qop.attrs
-                prod = (get(i[0]).astype(jnp.int32) - at["z1"]) \
-                    * (get(i[1]).astype(jnp.int32) - at["z2"])
-                out = intmath.multiply_by_quantized_multiplier(
-                    prod, *at["mo"]) + at["zo"]
-                lo, hi = at["act"]
-                out = jnp.clip(out, lo, hi).astype(jnp.int8)
-            elif qop.code == QUANTIZE:
-                at = qop.attrs
-                v = get(i[0]).astype(jnp.int32) - at["zi"]
-                out = intmath.multiply_by_quantized_multiplier(
-                    v, *at["mo"]) + at["zo"]
-                out = jnp.clip(out, at["qmin"], at["qmax"]).astype(jnp.int8)
-            elif qop.code == DEQUANTIZE:
-                at = qop.attrs
-                out = (get(i[0]).astype(jnp.float32) - at["zp"]) \
-                    * np.float32(at["scale"])
-            elif qop.code == LOGISTIC:
-                lut = consts[f"{qop.attrs['kkey']}/lut"]
-                out = jnp.take(lut, get(i[0]).astype(jnp.int32) + 128)
-            elif qop.code == MAX_POOL:
-                out = self._pool(qop, get(i[0]), reduce_max=True)
-            elif qop.code == AVG_POOL:
-                out = self._pool(qop, get(i[0]), reduce_max=False)
-            elif qop.code == CONCAT:
-                out = jnp.concatenate([get(t) for t in i],
-                                      axis=qop.attrs["axis"])
-            elif qop.code == RESHAPE:
-                out = get(i[0]).reshape(qop.attrs["shape"])
-            elif qop.code == PAD_OP:
-                pads = [tuple(r) for r in qop.attrs["pads"]]
-                out = jnp.pad(get(i[0]), pads,
-                              constant_values=qop.attrs["value"])
-            elif qop.code == SOFTMAX:
-                out = jax.nn.softmax(get(i[0]), axis=-1)
-            else:                                      # pragma: no cover
-                raise NotImplementedError(qop.code)
-            env[qop.outputs[0]] = out
+            env[qop.outputs[0]] = self.run_op(qop, consts, get)
         if return_env:
             return env
         return [env[t] for t in self.output_idxs]
+
+    def run_op(self, qop, consts, get):
+        """Execute one parsed op given a resolver for its input tensors
+        (trace-time; also the seam the per-op exactness tests drive)."""
+        i = qop.inputs
+        if qop.code == CONV:
+            out = self._conv(qop, consts, get(i[0]))
+        elif qop.code == DW_CONV:
+            out = self._dw_conv(qop, consts, get(i[0]))
+        elif qop.code == FC:
+            out = self._fc(qop, consts, get(i[0]))
+        elif qop.code in (ADD, SUB):
+            out = self._add_sub(qop, get(i[0]), get(i[1]))
+        elif qop.code == MUL:
+            at = qop.attrs
+            prod = (get(i[0]).astype(jnp.int32) - at["z1"]) \
+                * (get(i[1]).astype(jnp.int32) - at["z2"])
+            out = intmath.multiply_by_quantized_multiplier(
+                prod, *at["mo"]) + at["zo"]
+            lo, hi = at["act"]
+            out = jnp.clip(out, lo, hi).astype(jnp.int8)
+        elif qop.code == QUANTIZE:
+            at = qop.attrs
+            v = get(i[0]).astype(jnp.int32) - at["zi"]
+            out = intmath.multiply_by_quantized_multiplier(
+                v, *at["mo"]) + at["zo"]
+            out = jnp.clip(out, at["qmin"], at["qmax"]).astype(jnp.int8)
+        elif qop.code == DEQUANTIZE:
+            at = qop.attrs
+            out = (get(i[0]).astype(jnp.float32) - at["zp"]) \
+                * np.float32(at["scale"])
+        elif qop.code == LOGISTIC:
+            lut = consts[f"{qop.attrs['kkey']}/lut"]
+            out = jnp.take(lut, get(i[0]).astype(jnp.int32) + 128)
+        elif qop.code == MAX_POOL:
+            out = self._pool(qop, get(i[0]), reduce_max=True)
+        elif qop.code == AVG_POOL:
+            out = self._pool(qop, get(i[0]), reduce_max=False)
+        elif qop.code == CONCAT:
+            out = jnp.concatenate([get(t) for t in i],
+                                  axis=qop.attrs["axis"])
+        elif qop.code == RESHAPE:
+            out = get(i[0]).reshape(qop.attrs["shape"])
+        elif qop.code == TILE:
+            out = jnp.tile(get(i[0]), qop.attrs["multiples"])
+        elif qop.code == STRIDED_SLICE:
+            out = get(i[0])[qop.attrs["slices"]]
+        elif qop.code == RESIZE_NN:
+            x0 = get(i[0])
+            out = x0[:, qop.attrs["rows"]][:, :, qop.attrs["cols"]]
+        elif qop.code == PAD_OP:
+            pads = [tuple(r) for r in qop.attrs["pads"]]
+            out = jnp.pad(get(i[0]), pads,
+                          constant_values=qop.attrs["value"])
+        elif qop.code == SOFTMAX:
+            out = jax.nn.softmax(get(i[0]), axis=-1)
+        else:                                      # pragma: no cover
+            raise NotImplementedError(qop.code)
+        return out
 
     def _pool(self, qop, x, reduce_max: bool):
         kh, kw = qop.attrs["ksize"]
@@ -632,7 +696,8 @@ class QuantizedSSDDetector:
     def __init__(self, model_path: str, max_outputs: int = 32,
                  top_k: int = 100, score_threshold: float = 0.5,
                  iou_threshold: float = 0.5, conv_impl: str = "auto",
-                 anchors=None, box_scale=None, detections_cap=None):
+                 anchors=None, box_scale=None, detections_cap=None,
+                 family: str = "ssd"):
         from .ssd_mobilenet import BOX_SCALE, generate_anchors
         from .convert import read_tflite_io_quant
         io = read_tflite_io_quant(model_path)
@@ -647,8 +712,17 @@ class QuantizedSSDDetector:
         self.executor = ex
         self.height, self.width = int(in_meta.shape[1]), int(in_meta.shape[2])
         self.params = ex.consts
-        self.anchors = jnp.asarray(anchors if anchors is not None
-                                   else generate_anchors())
+        if anchors is None:
+            # both families share the faster_rcnn box-coder decode; the
+            # anchor grid and decode scales are family defaults (a fused
+            # postprocess op's embedded table overrides both upstream)
+            if family == "efficientdet":
+                from .efficientdet import generate_anchors as eff_anchors
+                anchors = eff_anchors(self.width) / float(self.width)
+                box_scale = box_scale or (1.0, 1.0, 1.0, 1.0)
+            else:
+                anchors = generate_anchors()
+        self.anchors = jnp.asarray(anchors)
         self.box_scale = tuple(box_scale) if box_scale else BOX_SCALE
         self.max_outputs = max_outputs
         self.top_k = top_k

@@ -165,14 +165,17 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
             raise ValueError(
                 "--quantized-inference needs an existing full-integer "
                 f".tflite artifact; got {model_name!r}")
-        if not ("ssd" in name or "mobilenet" in name or "edgetpu" in name):
+        is_ssd = "ssd" in name or "mobilenet" in name or "edgetpu" in name
+        is_effdet = not is_ssd       # the generic-TFLite family dispatch
+        if "yolo" in name:
             raise NotImplementedError(
                 "--quantized-inference currently supports the SSD/EdgeTPU "
-                f"family only (got {model_name!r}); the float converter "
-                "handles the other families")
+                f"and EfficientDet families (got {model_name!r}); the "
+                "float converter handles YOLO artifacts")
         from . import convert as cvm
         from .qgraph import QuantizedSSDDetector
-        det_kw = dict(score_threshold=score_threshold)
+        det_kw = dict(score_threshold=score_threshold,
+                      family="efficientdet" if is_effdet else "ssd")
         pp = cvm.read_tflite_postprocess(model_name)
         if pp is not None:
             # same authoritative fused-op configuration as the float path
@@ -183,7 +186,15 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
                           detections_cap=pp.max_detections)
         det = QuantizedSSDDetector(model_name, max_outputs=max_outputs,
                                    **det_kw)
-        det.labels = {i: n for i, n in enumerate(load_labels(label_file))}
+        labels = None
+        if is_effdet:
+            try:                     # packed metadata labels, like the
+                from .tflite_meta import read_metadata      # float branch
+                labels = read_metadata(model_name).get("labels")
+            except Exception:
+                pass
+        det.labels = {i: n for i, n in
+                      enumerate(labels or load_labels(label_file))}
         det.label_offset = 0
         return det
     extras = {}

@@ -28,7 +28,7 @@ BLOCKS = [  # (expand, channels, repeats, stride, kernel)
     (6, 320, 1, 1, 3)]
 
 
-def _make_efficientdet_tflite(tmp_path):
+def _make_efficientdet_tflite(tmp_path, full_int8=False):
     tf = _tf()
     rng = np.random.RandomState(23)
 
@@ -174,8 +174,23 @@ def _make_efficientdet_tflite(tmp_path):
     m = M()
     conv = tf.lite.TFLiteConverter.from_concrete_functions(
         [m.__call__.get_concrete_function()], m)
+    if full_int8:
+        # the real zoo EfficientDet-Lite0 artifact format: full-integer
+        # export (uint8 input, int8 activations) — exercises the quantized
+        # executor's TILE/STRIDED_SLICE data-movement ops too
+        def _rep():
+            r = np.random.RandomState(11)
+            for _ in range(4):
+                yield [r.uniform(0, 255, (1, SIZE, SIZE, 3))
+                       .astype(np.float32)]
+        conv.optimizations = [tf.lite.Optimize.DEFAULT]
+        conv.representative_dataset = _rep
+        conv.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS_INT8]
+        conv.inference_input_type = tf.uint8
+        conv.inference_output_type = tf.float32
     blob = conv.convert()
-    path = str(tmp_path / "efficientdet_lite0_full.tflite")
+    path = str(tmp_path / ("efficientdet_lite0_int8.tflite" if full_int8
+                           else "efficientdet_lite0_full.tflite"))
     with open(path, "wb") as f:
         f.write(blob)
     return path

@@ -321,3 +321,73 @@ def test_cli_flag_quantized_inference_parses():
     assert args.quantized_inference is True
     args = get_arguments(["--model", "x.tflite"])
     assert args.quantized_inference is False
+
+
+# ---------------------------------------------------------------------------
+# 6. EfficientDet-Lite0 full-int8 (the other real zoo artifact format):
+#    TILE / STRIDED_SLICE data movement + the efficientdet quantized family
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def effdet_int8_tflite(tmp_path_factory):
+    from test_efficientdet_real_tflite import _make_efficientdet_tflite
+    return _make_efficientdet_tflite(tmp_path_factory.mktemp("edq"),
+                                     full_int8=True)
+
+
+@pytest.mark.timeout(900)
+def test_full_efficientdet_int8_per_op_exact(effdet_int8_tflite, rng):
+    """The BUILTIN_REF (reference-kernel) resolver in this TF build cannot
+    run this artifact at all (no int8 TILE v3 registration), so a whole-
+    graph byte-exactness oracle is unavailable — and against the default
+    XNNPACK path, per-op 1-LSB rounding drift AMPLIFIES through 100+
+    layers (a 1-LSB input shift moves a conv's output by several LSBs),
+    so end-to-end bounds prove nothing. The airtight check is LOCAL:
+    every op, fed the interpreter's own input tensors, must reproduce the
+    interpreter's output within XNNPACK's documented 1-LSB fp32-requant
+    slack — and the pure data-movement ops (TILE, STRIDED_SLICE, RESHAPE,
+    CONCAT, MAX_POOL) plus DEQUANTIZE byte-exactly. (The SSD artifact
+    above proves byte-exactness of the shared arithmetic against the
+    reference kernels.)"""
+    tf = _tf()
+    ex = QGraphExecutor(effdet_int8_tflite, conv_impl="portable")
+    x = rng.randint(0, 256, (1, 320, 320, 3)).astype(np.uint8)
+    ip = _run_interpreter_all(tf, effdet_int8_tflite, x, resolver="BUILTIN")
+    consts = {k: jnp.asarray(v) for k, v in ex.consts.items()}
+    exact_codes = {2, 17, 22, 45, 69}       # concat, maxpool, reshape,
+    n_arith = n_exact = 0                   # strided_slice, tile
+    for qop in ex.ops:
+        def get(ti):
+            if ti in ex._const_idx:
+                return jnp.asarray(ex._const_idx[ti])
+            return jnp.asarray(ip.get_tensor(ti))
+        ours = np.asarray(ex.run_op(qop, consts, get))
+        ref = ip.get_tensor(qop.outputs[0])
+        name = ex.meta[qop.outputs[0]].name
+        if ours.dtype == np.float32:        # DEQUANTIZE: exact arithmetic
+            np.testing.assert_array_equal(ours, ref, err_msg=name)
+            n_exact += 1
+        elif qop.code in exact_codes:
+            np.testing.assert_array_equal(ours, ref, err_msg=name)
+            n_exact += 1
+        else:
+            d = np.abs(ours.astype(np.int64) - ref.astype(np.int64))
+            assert d.max() <= 1, f"{name} (op {qop.code}): max {d.max()}"
+            n_arith += 1
+    assert n_arith > 150 and n_exact > 50   # the whole graph was covered
+
+
+def test_quantized_efficientdet_registry_dispatch(effdet_int8_tflite):
+    from deepdish_tpu.models import create_detector
+    from deepdish_tpu.models.qgraph import QuantizedSSDDetector
+    det = create_detector(effdet_int8_tflite, quantized=True,
+                          score_threshold=0.3, max_outputs=8)
+    assert isinstance(det, QuantizedSSDDetector)
+    assert (det.width, det.height) == (320, 320)
+    assert det.box_scale == (1.0, 1.0, 1.0, 1.0)     # efficientdet decode
+    x = np.random.RandomState(4).randint(
+        0, 256, (320, 320, 3)).astype(np.uint8)
+    xyxy, classes, scores, valid = det.detect_jit(
+        jnp.asarray(x), jnp.float32(640), jnp.float32(360))
+    assert xyxy.shape == (8, 4)
+    assert np.isfinite(np.asarray(xyxy)).all()
