@@ -772,3 +772,55 @@ class QuantizedSSDDetector:
         if not hasattr(self, "_djit"):
             self._djit = jax.jit(self.detect)
         return self._djit(self.params, image_resized, orig_w, orig_h)
+
+
+class QuantizedYOLOv5Detector:
+    """YOLOv5 on the integer datapath. The reference's int8 yolov5 TFLite
+    contract (tools/yolov5.py:102-118): normalize the frame to [0,1],
+    quantize with the input tensor's scale/zero-point (`(img / scale +
+    zero_point).astype(np.int8)` — TRUNCATING cast, mirrored here), run
+    the integer graph, dequantize the outputs `(x - zp) * scale`, then
+    the standard decode (yolov5.postprocess_heads)."""
+
+    def __init__(self, model_path: str, max_outputs: int = 64,
+                 score_threshold: float = 0.25, conv_impl: str = "auto"):
+        from .convert import read_tflite_io_quant
+        io = read_tflite_io_quant(model_path)
+        in_dt = next(iter(io.values()))[0] if io else None
+        if in_dt not in (np.uint8, np.int8):
+            raise ValueError(
+                f"{model_path} is not a full-integer artifact (input tensor "
+                f"is {in_dt}); use the float converter for fp16/fp32 "
+                "yolov5 exports")
+        ex = QGraphExecutor(model_path, conv_impl=conv_impl)
+        in_meta = ex.meta[ex.input_idx]
+        self.executor = ex
+        self.height, self.width = int(in_meta.shape[1]), int(in_meta.shape[2])
+        self.params = ex.consts
+        self.max_outputs = max_outputs
+        self.score_threshold = score_threshold
+        self._in_dtype = in_meta.dtype
+        self._in_scale = float(in_meta.scale[0])
+        self._in_zp = int(in_meta.zp[0])
+
+    def detect(self, params, image_resized, orig_w, orig_h):
+        from .yolov5 import postprocess_heads
+        x01 = image_resized.astype(jnp.float32) / 255.0
+        q = x01 / np.float32(self._in_scale) + self._in_zp
+        lo, hi = (np.iinfo(self._in_dtype).min, np.iinfo(self._in_dtype).max)
+        # truncating cast, exactly the reference's .astype(np.int8)
+        q = jnp.clip(q, lo, hi).astype(jnp.int8 if self._in_dtype == np.int8
+                                       else jnp.uint8)
+        outs = self.executor.dequantize_outputs(
+            self.executor.apply(params, q[None]))
+        # per-level heads ordered largest-spatial (stride 8) first
+        heads = sorted((o[0] for o in outs),
+                       key=lambda h: -int(h.shape[0]))
+        return postprocess_heads(heads, self.width, orig_w, orig_h,
+                                 score_threshold=self.score_threshold,
+                                 max_outputs=self.max_outputs)
+
+    def detect_jit(self, image_resized, orig_w, orig_h):
+        if not hasattr(self, "_djit"):
+            self._djit = jax.jit(self.detect)
+        return self._djit(self.params, image_resized, orig_w, orig_h)

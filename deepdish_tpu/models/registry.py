@@ -165,13 +165,21 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
             raise ValueError(
                 "--quantized-inference needs an existing full-integer "
                 f".tflite artifact; got {model_name!r}")
+        if "yolov5" in name:
+            from .qgraph import QuantizedYOLOv5Detector
+            det = QuantizedYOLOv5Detector(
+                model_name, max_outputs=max_outputs,
+                score_threshold=max(score_threshold, 0.25))
+            det.labels = {i: n for i, n in enumerate(load_labels(label_file))}
+            det.label_offset = 0
+            return det
         is_ssd = "ssd" in name or "mobilenet" in name or "edgetpu" in name
         is_effdet = not is_ssd       # the generic-TFLite family dispatch
         if "yolo" in name:
             raise NotImplementedError(
-                "--quantized-inference currently supports the SSD/EdgeTPU "
-                f"and EfficientDet families (got {model_name!r}); the "
-                "float converter handles YOLO artifacts")
+                "--quantized-inference currently supports the SSD/EdgeTPU, "
+                f"EfficientDet and YOLOv5 families (got {model_name!r}); "
+                "the float converter handles YOLOv3 artifacts")
         from . import convert as cvm
         from .qgraph import QuantizedSSDDetector
         det_kw = dict(score_threshold=score_threshold,

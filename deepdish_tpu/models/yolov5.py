@@ -165,6 +165,31 @@ def decode_head(head: jnp.ndarray, anchors: jnp.ndarray, stride: int,
         -1, 5 + num_classes)
 
 
+def postprocess_heads(heads, input_size, orig_w, orig_h, *,
+                      score_threshold, max_outputs):
+    """The reference decode (yolov5.py:120-131) on raw head tensors:
+    xywh->xyxy, conf = obj * cls, argmax class, threshold, scale to image.
+    Shared by the float detector and the integer-exact quantized one
+    (models/qgraph.py). heads: per-level (H, W, A*(5+nc)) arrays ordered
+    stride-8/16/32 (largest spatial first)."""
+    rows = jnp.concatenate([
+        decode_head(h, jnp.asarray(ANCHORS[i]), STRIDES[i], input_size)
+        for i, h in enumerate(heads)], axis=0)
+    xy, wh = rows[:, 0:2], rows[:, 2:4]
+    x1y1 = xy - wh / 2
+    x2y2 = xy + wh / 2
+    conf = rows[:, 5:] * rows[:, 4:5]
+    classes = jnp.argmax(conf, axis=1).astype(jnp.int32)
+    scores = jnp.max(conf, axis=1)
+    ok = scores >= score_threshold
+    K = max_outputs
+    top_scores, idx = jax.lax.top_k(jnp.where(ok, scores, -1.0), K)
+    scale = jnp.stack([orig_w, orig_h, orig_w, orig_h]).astype(jnp.float32)
+    xyxy = jnp.concatenate([x1y1, x2y2], axis=1)[idx] * scale
+    return (xyxy, classes[idx], top_scores,
+            top_scores >= score_threshold)
+
+
 class YOLOv5Detector:
     """Fused detect program with the reference decode (yolov5.py:120-131):
     xywh->xyxy, conf = obj * cls, argmax class, threshold, scale to image."""
@@ -188,24 +213,9 @@ class YOLOv5Detector:
         """Returns fixed-capacity (boxes_xyxy (K, 4) pixels, classes (K,)
         int32, scores (K,), valid (K,))."""
         heads = self.net.apply(params, image_resized)
-        rows = jnp.concatenate([
-            decode_head(h, jnp.asarray(ANCHORS[i]), STRIDES[i],
-                        self.input_size)
-            for i, h in enumerate(heads)], axis=0)
-        xy, wh = rows[:, 0:2], rows[:, 2:4]
-        x1y1 = xy - wh / 2
-        x2y2 = xy + wh / 2
-        conf = rows[:, 5:] * rows[:, 4:5]
-        classes = jnp.argmax(conf, axis=1).astype(jnp.int32)
-        scores = jnp.max(conf, axis=1)
-        ok = scores >= self.score_threshold
-        K = self.max_outputs
-        top_scores, idx = jax.lax.top_k(
-            jnp.where(ok, scores, -1.0), K)
-        scale = jnp.stack([orig_w, orig_h, orig_w, orig_h]).astype(jnp.float32)
-        xyxy = jnp.concatenate([x1y1, x2y2], axis=1)[idx] * scale
-        return (xyxy, classes[idx], top_scores,
-                top_scores >= self.score_threshold)
+        return postprocess_heads(heads, self.input_size, orig_w, orig_h,
+                                 score_threshold=self.score_threshold,
+                                 max_outputs=self.max_outputs)
 
     @functools.partial(jax.jit, static_argnums=0)
     def detect_jit(self, image_resized, orig_w, orig_h):

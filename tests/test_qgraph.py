@@ -391,3 +391,63 @@ def test_quantized_efficientdet_registry_dispatch(effdet_int8_tflite):
         jnp.asarray(x), jnp.float32(640), jnp.float32(360))
     assert xyxy.shape == (8, 4)
     assert np.isfinite(np.asarray(xyxy)).all()
+
+
+# ---------------------------------------------------------------------------
+# 7. YOLOv5 full-int8 (the reference's int8 yolov5 contract,
+#    tools/yolov5.py:102-118): per-op exactness + the quantized detector
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def yolov5_int8_tflite(tmp_path_factory):
+    from test_yolov5_real_tflite import _make_yolov5_tflite
+    return _make_yolov5_tflite(tmp_path_factory.mktemp("y5q"),
+                               full_int8=True)
+
+
+@pytest.mark.timeout(900)
+def test_full_yolov5_int8_per_op_exact(yolov5_int8_tflite, rng):
+    """Same local per-op oracle as EfficientDet (this artifact also uses
+    TILE, absent from the reference-kernel resolver): every op on the
+    interpreter's own inputs — arithmetic within XNNPACK's 1-LSB slack,
+    data movement and dequantize byte-exact."""
+    tf = _tf()
+    from test_yolov5_real_tflite import SIZE
+    ex = QGraphExecutor(yolov5_int8_tflite, conv_impl="portable")
+    x = rng.randint(-128, 128, (1, SIZE, SIZE, 3)).astype(np.int8)
+    ip = _run_interpreter_all(tf, yolov5_int8_tflite, x, resolver="BUILTIN")
+    consts = {k: jnp.asarray(v) for k, v in ex.consts.items()}
+    exact_codes = {2, 17, 22, 34, 45, 69}
+    n_arith = n_exact = 0
+    for qop in ex.ops:
+        def get(ti):
+            if ti in ex._const_idx:
+                return jnp.asarray(ex._const_idx[ti])
+            return jnp.asarray(ip.get_tensor(ti))
+        ours = np.asarray(ex.run_op(qop, consts, get))
+        ref = ip.get_tensor(qop.outputs[0])
+        name = ex.meta[qop.outputs[0]].name
+        if ours.dtype == np.float32 or qop.code in exact_codes:
+            np.testing.assert_array_equal(ours, ref, err_msg=name)
+            n_exact += 1
+        else:
+            d = np.abs(ours.astype(np.int64) - ref.astype(np.int64))
+            assert d.max() <= 1, f"{name} (op {qop.code}): max {d.max()}"
+            n_arith += 1
+    assert n_arith > 100 and n_exact > 20
+
+
+def test_quantized_yolov5_registry_dispatch(yolov5_int8_tflite):
+    from test_yolov5_real_tflite import SIZE
+    from deepdish_tpu.models import create_detector
+    from deepdish_tpu.models.qgraph import QuantizedYOLOv5Detector
+    det = create_detector(yolov5_int8_tflite, quantized=True,
+                          max_outputs=8)
+    assert isinstance(det, QuantizedYOLOv5Detector)
+    assert (det.width, det.height) == (SIZE, SIZE)
+    x = np.random.RandomState(4).randint(
+        0, 256, (SIZE, SIZE, 3)).astype(np.uint8)
+    xyxy, classes, scores, valid = det.detect_jit(
+        jnp.asarray(x), jnp.float32(640), jnp.float32(360))
+    assert xyxy.shape == (8, 4)
+    assert np.isfinite(np.asarray(xyxy)).all()

@@ -20,7 +20,7 @@ SIZE = 320
 NC = 80
 
 
-def _make_yolov5_tflite(tmp_path):
+def _make_yolov5_tflite(tmp_path, full_int8=False):
     tf = _tf()
     rng = np.random.RandomState(11)
     params = []
@@ -139,8 +139,22 @@ def _make_yolov5_tflite(tmp_path):
     m = M()
     conv = tf.lite.TFLiteConverter.from_concrete_functions(
         [m.__call__.get_concrete_function()], m)
+    if full_int8:
+        # the reference's int8 yolov5 artifact contract: int8 input/output
+        # tensors dequantized via scale/zero-point (tools/yolov5.py:102-118)
+        def _rep():
+            r = np.random.RandomState(11)
+            for _ in range(4):
+                yield [r.uniform(0, 1, (1, SIZE, SIZE, 3))
+                       .astype(np.float32)]
+        conv.optimizations = [tf.lite.Optimize.DEFAULT]
+        conv.representative_dataset = _rep
+        conv.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS_INT8]
+        conv.inference_input_type = tf.int8
+        conv.inference_output_type = tf.int8
     blob = conv.convert()
-    path = str(tmp_path / "yolov5s_full.tflite")
+    path = str(tmp_path / ("yolov5s_int8.tflite" if full_int8
+                           else "yolov5s_full.tflite"))
     with open(path, "wb") as f:
         f.write(blob)
     return path
