@@ -89,7 +89,7 @@ def build_parser() -> argparse.ArgumentParser:
         help='run a full-integer .tflite --model on the integer datapath '
              '(int8 MXU convolutions, TFLite-interpreter-exact head '
              'tensors) instead of dequantizing its weights to float; '
-             'SSD/EdgeTPU-family artifacts')
+             'SSD/EdgeTPU, EfficientDet and YOLOv5 artifacts')
     add('--disable-edgetpu', default=False, action='store_true',
         help='(TPU build: selects the CPU jax backend)')
     add('--encoder-model', metavar='FILE', default=None)
