@@ -182,22 +182,24 @@ class QGraphExecutor:
             if code == CUSTOM:
                 cc = oc.CustomCode()
                 cname = cc.decode() if cc else "?"
-                if stop_at_custom:
+                if stop_at_custom and cname == "TFLite_Detection_PostProcess":
                     # detections come from the native decode on the op's
-                    # (float, already-dequantized) inputs
+                    # (float, already-dequantized) inputs, which the op
+                    # declares in a fixed order: box encodings, class
+                    # predictions, anchors (const)
                     self.output_idxs = [t for t in ins
                                         if t not in self._const_idx]
                     self.stopped_at_custom = True
                     break
-                raise NotImplementedError(f"custom op {cname}")
+                raise NotImplementedError(
+                    f"custom op {cname!r}"
+                    + (" — an edgetpu-compiled artifact wraps the whole "
+                       "network in one opaque op; use the uncompiled "
+                       "CPU .tflite export of the same model"
+                       if "edgetpu" in cname.lower() else ""))
             qop = _QOp(code, self.meta[outs[0]].name, ins, outs)
             self._prepare(qop, op, fb)
             self.ops.append(qop)
-
-        used = set()
-        for qop in self.ops:
-            used.update(qop.inputs)
-        self._needed_consts = {ti for ti in self._const_idx if ti in used}
 
     # ---- per-op host-side preparation (requant tables, layouts) ----
 
@@ -733,33 +735,53 @@ class QuantizedSSDDetector:
         # postprocess op; raw-heads exports end at the (dequantized) logits
         self._heads_are_probs = ex.stopped_at_custom
         self._in_int8 = in_meta.dtype == np.int8
+        self._in_scale = float(in_meta.scale[0]) if in_meta.scale is not None \
+            else 1.0
         self._in_zp = int(in_meta.zp[0]) if in_meta.zp is not None else 0
+        # the float EfficientDet heads carry NO background column
+        # (tools/tflite_object_detector.py label contract, 0-based);
+        # TF-OD SSD heads carry background at column 0
+        self._strip_background = family != "efficientdet"
 
     def detect(self, params, image_resized, orig_w, orig_h):
         from .ssd_mobilenet import decode_boxes, postprocess_detections
         x = image_resized
-        if x.dtype != jnp.uint8:
-            # the pipeline's MXU resize produces float; the integer graph's
-            # input is the quantized image itself (scale/zp map raw pixels),
-            # so nearest-uint8 IS the exact quantization step
-            x = jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
         if self._in_int8:
-            # int8-input exports: identical lattice shifted by 128
-            x = (x.astype(jnp.int32) - 128).astype(jnp.int8)
+            # int8-input exports: AffineQuantize of the raw pixel value
+            # with the artifact's input scale/zero-point (TfLiteRound =
+            # half away from zero). For the common raw-pixel lattice
+            # (scale 1, zp -128) this reduces to the x - 128 shift.
+            xf = x.astype(jnp.float32) / np.float32(self._in_scale) \
+                + self._in_zp
+            q = jnp.sign(xf) * jnp.floor(jnp.abs(xf) + 0.5)
+            x = jnp.clip(q, -128, 127).astype(jnp.int8)
+        elif x.dtype != jnp.uint8:
+            # the pipeline's MXU resize produces float; uint8-input graphs
+            # consume the raw pixel lattice, so nearest-uint8 (half away
+            # from zero, TfLiteRound) IS the exact quantization step
+            x = jnp.clip(jnp.floor(x + 0.5), 0, 255).astype(jnp.uint8)
         outs = self.executor.dequantize_outputs(
             self.executor.apply(params, x[None]))
-        box_enc = scores = None
-        for o in outs:
-            if o.shape[-1] == 4:
-                box_enc = o.reshape(-1, 4)
-            else:
-                scores = o.reshape(o.shape[-2] if o.ndim >= 2 else -1,
-                                   o.shape[-1])
-        if box_enc is None or scores is None:
-            raise ValueError("could not identify box/score head tensors in "
-                             f"{[tuple(o.shape) for o in outs]}")
+        if self.executor.stopped_at_custom:
+            # the fused op declares (box encodings, class predictions)
+            # in fixed input order
+            box_enc, scores = outs[0], outs[1]
+            box_enc = box_enc.reshape(-1, 4)
+            scores = scores.reshape(-1, scores.shape[-1])
+        else:
+            four = [o for o in outs if o.shape[-1] == 4]
+            rest = [o for o in outs if o.shape[-1] != 4]
+            if len(four) != 1 or len(rest) != 1:
+                raise ValueError(
+                    "could not identify box/score head tensors in "
+                    f"{[tuple(o.shape) for o in outs]} — a score head with "
+                    "exactly 4 class columns needs the fused postprocess "
+                    "op's explicit ordering")
+            box_enc = four[0].reshape(-1, 4)
+            scores = rest[0].reshape(-1, rest[0].shape[-1])
         probs = scores if self._heads_are_probs else jax.nn.sigmoid(scores)
-        probs = probs[:, 1:]                           # strip background
+        if self._strip_background:
+            probs = probs[:, 1:]
         boxes = decode_boxes(box_enc.astype(jnp.float32), self.anchors,
                              self.box_scale)
         return postprocess_detections(

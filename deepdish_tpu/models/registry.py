@@ -134,6 +134,21 @@ def _load_real_weights(path: str, family: str):
     return None, {}
 
 
+def _pp_det_kw(pp, score_threshold, anchor_scale=1.0):
+    """Detector kwargs from a fused TFLite_Detection_PostProcess op — the
+    authoritative per-file configuration (the reference consumes the op's
+    outputs: tools/ssd_mobilenet.py:100-127,
+    tools/tflite_object_detector.py:154-172): embedded anchor table,
+    decode scales, `max(cli, op)` score threshold, the op's NMS iou, and
+    its max_detections as the validity cap (the op emits at most that
+    many boxes, so slots past it are invalidated downstream)."""
+    return dict(anchors=pp.anchors * anchor_scale, box_scale=pp.scales,
+                score_threshold=max(score_threshold,
+                                    pp.nms_score_threshold),
+                iou_threshold=pp.nms_iou_threshold,
+                detections_cap=pp.max_detections)
+
+
 def create_detector(model_name: str, wanted_labels=None, label_file=None,
                     score_threshold: float = 0.5, params=None,
                     max_outputs: int = 32,
@@ -186,12 +201,9 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
                       family="efficientdet" if is_effdet else "ssd")
         pp = cvm.read_tflite_postprocess(model_name)
         if pp is not None:
-            # same authoritative fused-op configuration as the float path
-            det_kw.update(anchors=pp.anchors, box_scale=pp.scales,
-                          score_threshold=max(score_threshold,
-                                              pp.nms_score_threshold),
-                          iou_threshold=pp.nms_iou_threshold,
-                          detections_cap=pp.max_detections)
+            # the quantized decode works in normalized units for both
+            # families, so the op's normalized anchors pass unscaled
+            det_kw.update(_pp_det_kw(pp, score_threshold))
         det = QuantizedSSDDetector(model_name, max_outputs=max_outputs,
                                    **det_kw)
         labels = None
@@ -328,21 +340,11 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
                 print(f"tflite metadata unavailable ({e}); using defaults")
         det_kw = dict(score_threshold=score_threshold)
         if pp is not None:
-            # the fused op's parameters are authoritative for this file
-            # (tools/tflite_object_detector.py consumes the op's outputs);
-            # the op's normalized anchors map to our pixel convention via
-            # the model input size
+            # the float EfficientDet decode works in pixels, so the op's
+            # normalized anchors are scaled by the model input size
             from .efficientdet import INPUT_SIZE as _EDET_SIZE
-            det_kw.update(
-                anchors=pp.anchors * float(_EDET_SIZE),
-                box_scale=pp.scales,
-                score_threshold=max(score_threshold,
-                                    pp.nms_score_threshold),
-                iou_threshold=pp.nms_iou_threshold,
-                # the op emits at most max_detections boxes; slots past
-                # that are invalidated so the reference sees the same set
-                # from this file (tools/tflite_object_detector.py:154-172)
-                detections_cap=pp.max_detections)
+            det_kw.update(_pp_det_kw(pp, score_threshold,
+                                     anchor_scale=float(_EDET_SIZE)))
         det = EfficientDetLite0Detector(params=params,
                                         max_outputs=max_outputs,
                                         norm_mean=meta["mean"],
@@ -356,21 +358,9 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
     if "ssd" in name or "mobilenet" in name or "edgetpu" in name:
         det_kw = dict(score_threshold=score_threshold)
         if pp is not None:
-            # embedded anchor table + decode scales + the op's NMS
-            # parameters (tools/ssd_mobilenet.py:100-127 consumes the op's
-            # outputs, then filters by the CLI confidence — hence max())
-            det_kw.update(
-                anchors=pp.anchors, box_scale=pp.scales,
-                score_threshold=max(score_threshold,
-                                    pp.nms_score_threshold),
-                iou_threshold=pp.nms_iou_threshold,
-                # the op emits at most max_detections boxes — invalidate
-                # slots past that so the pipeline sees the same set the
-                # reference gets from this file (ssd_mobilenet.py:100-127).
-                # The op's fast NMS is class-agnostic; the pipeline's own
-                # class-agnostic NMS (deepdish.py:995) covers that stage
-                # downstream.
-                detections_cap=pp.max_detections)
+            # (the op's fast NMS is class-agnostic; the pipeline's own
+            # class-agnostic NMS, deepdish.py:995, covers that stage)
+            det_kw.update(_pp_det_kw(pp, score_threshold))
         det = SSDMobileNetDetector(params=params, max_outputs=max_outputs,
                                    **det_kw)
         # +1 labelmap offset applied by the reference adaptor

@@ -173,14 +173,17 @@ def _run_ours(video, logfile, monkeypatch, bgsub=False):
         argv.append("--disable-background-subtraction")
 
     captured = []
-    real_pipeline = our_main.Pipeline
+    # amain imports Pipeline from .runtime at call time (after the
+    # platform override), so the capture seam lives on the runtime module
+    from deepdish_tpu.pipeline import runtime as our_runtime
+    real_pipeline = our_runtime.Pipeline
 
     def capture(args):
         p = real_pipeline(args)
         captured.append(p)
         return p
 
-    monkeypatch.setattr(our_main, "Pipeline", capture)
+    monkeypatch.setattr(our_runtime, "Pipeline", capture)
 
     async def run():
         await asyncio.wait_for(our_main.amain(argv), timeout=420)

@@ -385,6 +385,9 @@ def test_quantized_efficientdet_registry_dispatch(effdet_int8_tflite):
     assert isinstance(det, QuantizedSSDDetector)
     assert (det.width, det.height) == (320, 320)
     assert det.box_scale == (1.0, 1.0, 1.0, 1.0)     # efficientdet decode
+    # efficientdet heads have NO background column (0-based labels,
+    # tools/tflite_object_detector.py) — class 0 must survive
+    assert det._strip_background is False
     x = np.random.RandomState(4).randint(
         0, 256, (320, 320, 3)).astype(np.uint8)
     xyxy, classes, scores, valid = det.detect_jit(
