@@ -82,6 +82,9 @@ class _QOp:
     attrs: Dict[str, Any] = field(default_factory=dict)
 
 
+_JDT = {np.dtype(np.int8): jnp.int8, np.dtype(np.uint8): jnp.uint8}
+
+
 def _act_range(fused: int, scale: float, zp: int, dtype) -> Tuple[int, int]:
     """CalculateActivationRangeQuantized: clamp bounds in the quantized
     domain for the fused activation (kernel_util.cc)."""
@@ -213,15 +216,21 @@ class QGraphExecutor:
         code = qop.code
         key = f"op{len(self.ops)}"
         meta_out = self.meta[qop.outputs[0]]
+        if meta_out.dtype in (np.int8, np.uint8):
+            qop.attrs["out_dtype"] = _JDT[np.dtype(meta_out.dtype)]
 
         if code in (CONV, DW_CONV, FC):
             kt = qop.inputs[1]
             kern = self._const_idx[kt]
             km = self.meta[kt]
-            if kern.dtype != np.int8:
+            if kern.dtype not in (np.int8, np.uint8):
                 raise NotImplementedError(
                     f"{_OP_NAMES[code]} with {kern.dtype} weights (only "
-                    "int8 full-integer graphs are supported)")
+                    "int8/uint8 full-integer graphs are supported)")
+            # legacy (pre-TF2) full-uint8 artifacts — the zoo
+            # detect.tflite format — carry per-TENSOR uint8 weights with a
+            # weight zero point; the int8 scheme is symmetric (w_zp = 0)
+            w_zp = int(km.zp[0]) if km.zp is not None else 0
             in_scale, in_zp = self._q(qop.inputs[0])
             out_scale, out_zp = self._q(qop.outputs[0])
             bias = None
@@ -254,7 +263,7 @@ class QGraphExecutor:
             act_min, act_max = _act_range(fused, out_scale, out_zp,
                                           meta_out.dtype)
             qop.attrs.update(stride=stride, dilation=dil, padding=padding,
-                             in_zp=in_zp, out_zp=out_zp,
+                             in_zp=in_zp, out_zp=out_zp, w_zp=w_zp,
                              act=(act_min, act_max), kkey=key)
             self.consts[f"{key}/kernel"] = k
             self.consts[f"{key}/m0"] = m0
@@ -312,17 +321,20 @@ class QGraphExecutor:
             si, zi = self._q(qop.inputs[0])
             so, zo = self._q(qop.outputs[0])
             dt = self.meta[qop.inputs[0]].dtype
-            if dt != np.int8:
+            if dt not in (np.int8, np.uint8):
                 raise NotImplementedError(f"LOGISTIC on {dt}")
-            # LUTPopulate<int8>: float sigmoid sampled at each of the 256
-            # input codes, rounded half-away, clamped (lite/kernels/
-            # internal/common.h; also XNNPACK's table)
-            q = np.arange(-128, 128, dtype=np.float64)
+            # LUTPopulate: float sigmoid sampled at each of the 256 input
+            # codes, rounded half-away, clamped (lite/kernels/internal/
+            # common.h; also XNNPACK's table)
+            qmin = int(np.iinfo(dt).min)
+            q = np.arange(qmin, qmin + 256, dtype=np.float64)
             x = si * (q - zi)
             y = 1.0 / (1.0 + np.exp(-x))
-            lut = np.clip(_round_half_away(y / so) + zo, -128, 127)
-            self.consts[f"{key}/lut"] = lut.astype(np.int8)
-            qop.attrs.update(kkey=key)
+            omin = int(np.iinfo(self.meta[qop.outputs[0]].dtype).min)
+            lut = np.clip(_round_half_away(y / so) + zo, omin, omin + 255)
+            self.consts[f"{key}/lut"] = lut.astype(
+                self.meta[qop.outputs[0]].dtype)
+            qop.attrs.update(kkey=key, in_min=qmin)
 
         elif code in (MAX_POOL, AVG_POOL):
             o = fb.Pool2DOptions()
@@ -476,7 +488,7 @@ class QGraphExecutor:
         key = qop.attrs["kkey"]
         k = consts[f"{key}/kernel"]
         kh, kw, ci, co = k.shape
-        if self._use_mxu():
+        if self._use_mxu() and qop.attrs["w_zp"] == 0:
             p, ho, wo = self._patches(x, kh, kw, qop.attrs["stride"],
                                       qop.attrs["dilation"],
                                       qop.attrs["padding"])
@@ -488,13 +500,16 @@ class QGraphExecutor:
             if qop.attrs["offkey"] is not None:
                 acc = acc - consts[f"{key}/off"]
         else:
+            # portable int32 path; also the legacy-uint8 path (per-tensor
+            # weight zero point subtracted in int32)
             xs = x.astype(jnp.int32) - qop.attrs["in_zp"]
             p, ho, wo = self._patches(xs, kh, kw, qop.attrs["stride"],
                                       qop.attrs["dilation"],
                                       qop.attrs["padding"])
+            ks = k.reshape(kh * kw * ci, co).astype(jnp.int32) \
+                - qop.attrs["w_zp"]
             acc = jax.lax.dot_general(
-                p.reshape(ho * wo, kh * kw * ci),
-                k.reshape(kh * kw * ci, co).astype(jnp.int32),
+                p.reshape(ho * wo, kh * kw * ci), ks,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32).reshape(ho, wo, co)
         return self._epilogue(qop, consts, acc)[None]
@@ -508,23 +523,25 @@ class QGraphExecutor:
                                   qop.attrs["dilation"],
                                   qop.attrs["padding"])
         p = p.reshape(ho, wo, kh * kw, c)
-        acc = (p * k.reshape(kh * kw, c).astype(jnp.int32)).sum(axis=2)
+        ks = k.reshape(kh * kw, c).astype(jnp.int32) - qop.attrs["w_zp"]
+        acc = (p * ks).sum(axis=2)
         return self._epilogue(qop, consts, acc)[None]
 
     def _fc(self, qop, consts, x):
         key = qop.attrs["kkey"]
         k = consts[f"{key}/kernel"]                    # (I, O)
         x2 = x.reshape(-1, k.shape[0])
-        if self._use_mxu():
+        if self._use_mxu() and qop.attrs["w_zp"] == 0:
             acc = jax.lax.dot_general(x2, k, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.int32)
             if qop.attrs["offkey"] is not None:
                 acc = acc - consts[f"{key}/off"]
         else:
             xs = x2.astype(jnp.int32) - qop.attrs["in_zp"]
-            acc = jax.lax.dot_general(xs, k.astype(jnp.int32),
-                                      (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.int32)
+            acc = jax.lax.dot_general(
+                xs, k.astype(jnp.int32) - qop.attrs["w_zp"],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
         return self._epilogue(qop, consts, acc)
 
     def _epilogue(self, qop, consts, acc):
@@ -535,7 +552,7 @@ class QGraphExecutor:
             acc, consts[f"{key}/m0"], consts[f"{key}/shift"])
         out = out + qop.attrs["out_zp"]
         lo, hi = qop.attrs["act"]
-        return jnp.clip(out, lo, hi).astype(jnp.int8)
+        return jnp.clip(out, lo, hi).astype(qop.attrs["out_dtype"])
 
     def _add_sub(self, qop, a, b):
         at = qop.attrs
@@ -548,7 +565,7 @@ class QGraphExecutor:
         out = intmath.multiply_by_quantized_multiplier(raw, *at["mo"]) \
             + at["zo"]
         lo, hi = at["act"]
-        return jnp.clip(out, lo, hi).astype(jnp.int8)
+        return jnp.clip(out, lo, hi).astype(at["out_dtype"])
 
     def apply(self, consts, x, return_env: bool = False):
         env: Dict[int, Any] = {self.input_idx: x}
@@ -583,20 +600,22 @@ class QGraphExecutor:
             out = intmath.multiply_by_quantized_multiplier(
                 prod, *at["mo"]) + at["zo"]
             lo, hi = at["act"]
-            out = jnp.clip(out, lo, hi).astype(jnp.int8)
+            out = jnp.clip(out, lo, hi).astype(at["out_dtype"])
         elif qop.code == QUANTIZE:
             at = qop.attrs
             v = get(i[0]).astype(jnp.int32) - at["zi"]
             out = intmath.multiply_by_quantized_multiplier(
                 v, *at["mo"]) + at["zo"]
-            out = jnp.clip(out, at["qmin"], at["qmax"]).astype(jnp.int8)
+            out = jnp.clip(out, at["qmin"],
+                           at["qmax"]).astype(at["out_dtype"])
         elif qop.code == DEQUANTIZE:
             at = qop.attrs
             out = (get(i[0]).astype(jnp.float32) - at["zp"]) \
                 * np.float32(at["scale"])
         elif qop.code == LOGISTIC:
             lut = consts[f"{qop.attrs['kkey']}/lut"]
-            out = jnp.take(lut, get(i[0]).astype(jnp.int32) + 128)
+            out = jnp.take(lut, get(i[0]).astype(jnp.int32)
+                           - qop.attrs["in_min"])
         elif qop.code == MAX_POOL:
             out = self._pool(qop, get(i[0]), reduce_max=True)
         elif qop.code == AVG_POOL:
@@ -630,9 +649,11 @@ class QGraphExecutor:
         ho, pt, pb = _padding_amounts(h, kh, sh, qop.attrs["padding"])
         wo, pl, pr = _padding_amounts(w, kw, sw, qop.attrs["padding"])
         if reduce_max:
+            qmin = int(np.iinfo(np.int8 if x.dtype == jnp.int8
+                                else np.uint8).min)
             xp = jnp.pad(x[0].astype(jnp.int32), ((pt, pb), (pl, pr),
                                                   (0, 0)),
-                         constant_values=-128)
+                         constant_values=qmin)
             acc = None
             for dy in range(kh):
                 for dx in range(kw):
@@ -640,7 +661,8 @@ class QGraphExecutor:
                              dx: dx + (wo - 1) * sw + 1: sw, :]
                     acc = tap if acc is None else jnp.maximum(acc, tap)
             lo, hi = qop.attrs["act"]
-            return jnp.clip(acc, lo, hi).astype(jnp.int8)[None]
+            return jnp.clip(acc, lo, hi).astype(
+                qop.attrs["out_dtype"])[None]
         # AVERAGE_POOL int8: sum over the IN-BOUNDS window, rounded divide
         # by the in-bounds count (reference pooling.h)
         xp = jnp.pad(x[0].astype(jnp.int32), ((pt, pb), (pl, pr), (0, 0)))
@@ -658,7 +680,7 @@ class QGraphExecutor:
         out = jnp.where(acc >= 0, (acc + cnt // 2) // cnt,
                         -((-acc + cnt // 2) // cnt))
         lo, hi = qop.attrs["act"]
-        return jnp.clip(out, lo, hi).astype(jnp.int8)[None]
+        return jnp.clip(out, lo, hi).astype(qop.attrs["out_dtype"])[None]
 
     # ---- convenience ----
 

@@ -454,3 +454,32 @@ def test_quantized_yolov5_registry_dispatch(yolov5_int8_tflite):
         jnp.asarray(x), jnp.float32(640), jnp.float32(360))
     assert xyxy.shape == (8, 4)
     assert np.isfinite(np.asarray(xyxy)).all()
+
+
+# ---------------------------------------------------------------------------
+# 8. legacy full-uint8 format (the original zoo detect.tflite scheme):
+#    per-tensor uint8 weights WITH a weight zero point
+# ---------------------------------------------------------------------------
+
+def test_legacy_uint8_graph_byte_exact(tmp_path, rng):
+    tf = _tf()
+    from pp_builder import build_legacy_uint8_model
+    path = str(tmp_path / "legacy_u8.tflite")
+    with open(path, "wb") as f:
+        f.write(build_legacy_uint8_model())
+    ex = QGraphExecutor(path, conv_impl="portable")
+    x = rng.randint(0, 256, (1, 8, 8, 3)).astype(np.uint8)
+    ip = _run_interpreter_all(tf, path, x)
+    env = ex.apply(ex.consts, jnp.asarray(x), return_env=True)
+    for qop in ex.ops:
+        ti = qop.outputs[0]
+        assert np.asarray(env[ti]).dtype == np.uint8
+        np.testing.assert_array_equal(np.asarray(env[ti]),
+                                      ip.get_tensor(ti),
+                                      err_msg=ex.meta[ti].name)
+    # and the mxu-flagged path (which falls back to portable arithmetic
+    # for nonzero weight zero points) agrees
+    ex_m = QGraphExecutor(path, conv_impl="mxu")
+    for a, b in zip(ex.apply(ex.consts, jnp.asarray(x)),
+                    ex_m.apply(ex_m.consts, jnp.asarray(x))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
