@@ -188,3 +188,111 @@ def build_legacy_uint8_model(seed: int = 3) -> bytes:
     builder = flatbuffers.Builder(1024)
     builder.Finish(model.Pack(builder), b"TFL3")
     return bytes(builder.Output())
+
+
+def build_legacy_uint8_detector(seed: int = 5, num_anchors: int = 64,
+                                num_cols: int = 7) -> bytes:
+    """A legacy full-uint8 RAW-HEADS detector artifact: the conv stack of
+    build_legacy_uint8_model extended with uint8 box/class head convs
+    RESHAPEd to (1, A, 4) box encodings and (1, A, num_cols) class
+    logits — the tensor contract the SSD decode consumes. Everything
+    stays uint8 (per-tensor, nonzero weight zero points) end to end."""
+    import flatbuffers
+    from tensorflow.lite.python import schema_py_generated as fb
+
+    rng = np.random.RandomState(seed)
+    model = fb.ModelT()
+    model.version = 3
+    model.buffers = [fb.BufferT()]
+    sg = fb.SubGraphT()
+    sg.tensors = []
+    sg.operators = []
+    model.subgraphs = [sg]
+    model.operatorCodes = []
+
+    def add_buffer(arr):
+        b = fb.BufferT()
+        b.data = np.frombuffer(np.ascontiguousarray(arr).tobytes(),
+                               np.uint8)
+        model.buffers.append(b)
+        return len(model.buffers) - 1
+
+    def add_tensor(name, shape, ttype, scale, zp, buf=0):
+        t = fb.TensorT()
+        t.name = name.encode()
+        t.shape = list(shape)
+        t.type = ttype
+        t.buffer = buf
+        q = fb.QuantizationParametersT()
+        q.scale = [float(scale)]
+        q.zeroPoint = [int(zp)]
+        t.quantization = q
+        sg.tensors.append(t)
+        return len(sg.tensors) - 1
+
+    def opcode(code):
+        for i, oc in enumerate(model.operatorCodes):
+            if oc.builtinCode == code:
+                return i
+        oc = fb.OperatorCodeT()
+        oc.builtinCode = code
+        oc.deprecatedBuiltinCode = code
+        oc.version = 1
+        model.operatorCodes.append(oc)
+        return len(model.operatorCodes) - 1
+
+    UINT8, INT32 = 3, 2
+    x_t = add_tensor("input", (1, 8, 8, 3), UINT8, 0.0078125, 128)
+
+    def conv(xt, cin, cout, s_out, name, fused=3):
+        w = rng.randint(0, 256, (cout, 3, 3, cin)).astype(np.uint8)
+        wt = add_tensor(f"{name}/w", w.shape, UINT8, 0.02, 127,
+                        add_buffer(w))
+        s_i = float(sg.tensors[xt].quantization.scale[0])
+        bias = rng.randint(-2000, 2000, cout).astype(np.int32)
+        bt = add_tensor(f"{name}/b", (cout,), INT32, s_i * 0.02, 0,
+                        add_buffer(bias))
+        ot = add_tensor(f"{name}/out", (1, 8, 8, cout), UINT8, s_out, 128)
+        op = fb.OperatorT()
+        op.opcodeIndex = opcode(3)
+        op.inputs = [xt, wt, bt]
+        op.outputs = [ot]
+        o = fb.Conv2DOptionsT()
+        o.padding = 0
+        o.strideW = o.strideH = 1
+        o.fusedActivationFunction = fused
+        o.dilationWFactor = o.dilationHFactor = 1
+        op.builtinOptionsType = 1
+        op.builtinOptions = o
+        sg.operators.append(op)
+        return ot
+
+    def reshape(xt, shape, name):
+        st = add_tensor(f"{name}/shape", (len(shape),), INT32, 1.0, 0,
+                        add_buffer(np.asarray(shape, np.int32)))
+        q = sg.tensors[xt].quantization
+        ot = add_tensor(f"{name}/out", shape, UINT8,
+                        q.scale[0], q.zeroPoint[0])
+        op = fb.OperatorT()
+        op.opcodeIndex = opcode(22)
+        op.inputs = [xt, st]
+        op.outputs = [ot]
+        o = fb.ReshapeOptionsT()
+        o.newShape = list(shape)
+        op.builtinOptionsType = 22     # ReshapeOptions
+        op.builtinOptions = o
+        sg.operators.append(op)
+        return ot
+
+    trunk = conv(x_t, 3, 8, 0.03, "conv0")
+    na = num_anchors // 64             # anchors per cell on the 8x8 grid
+    box = conv(trunk, 8, na * 4, 0.04, "box_head", fused=0)
+    cls = conv(trunk, 8, na * num_cols, 0.05, "cls_head", fused=0)
+    box_r = reshape(box, (1, num_anchors, 4), "box")
+    cls_r = reshape(cls, (1, num_anchors, num_cols), "cls")
+    sg.inputs = [x_t]
+    sg.outputs = [box_r, cls_r]
+
+    builder = flatbuffers.Builder(1024)
+    builder.Finish(model.Pack(builder), b"TFL3")
+    return bytes(builder.Output())

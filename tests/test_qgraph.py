@@ -483,3 +483,51 @@ def test_legacy_uint8_graph_byte_exact(tmp_path, rng):
     for a, b in zip(ex.apply(ex.consts, jnp.asarray(x)),
                     ex_m.apply(ex_m.consts, jnp.asarray(x))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_legacy_uint8_detector_end_to_end(tmp_path, rng):
+    """The legacy scheme composes through the detector contract: a
+    raw-heads uint8 artifact drives QuantizedSSDDetector, and the
+    detections equal the shared native postprocess on the interpreter's
+    own (exactly dequantized) head tensors — i.e. zero deviation beyond
+    the byte-exact integer graph."""
+    tf = _tf()
+    from pp_builder import build_legacy_uint8_detector
+    from deepdish_tpu.models import create_detector
+    from deepdish_tpu.models.qgraph import QuantizedSSDDetector
+    from deepdish_tpu.models.ssd_mobilenet import (decode_boxes,
+                                                   postprocess_detections)
+    path = str(tmp_path / "legacy_ssd_u8.tflite")
+    with open(path, "wb") as f:
+        f.write(build_legacy_uint8_detector())
+    anchors = np.stack([np.linspace(0.1, 0.9, 64),
+                        np.linspace(0.2, 0.8, 64),
+                        np.full(64, 0.3), np.full(64, 0.25)],
+                       axis=1).astype(np.float32)
+    # registry dispatch accepts the legacy file (anchor table comes from
+    # the postprocess op in real zoo files; this raw-heads artifact needs
+    # an explicit one, passed directly)
+    assert isinstance(create_detector(path, quantized=True),
+                      QuantizedSSDDetector)
+    det = QuantizedSSDDetector(path, score_threshold=0.3, max_outputs=8,
+                               anchors=anchors)
+    x = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    xyxy, classes, scores, valid = det.detect_jit(
+        jnp.asarray(x), jnp.float32(640), jnp.float32(360))
+
+    ip = _run_interpreter_all(tf, path, x[None])
+    heads = {}
+    for d in ip.get_output_details():
+        q = d["quantization"]
+        heads[d["shape"][-1]] = (ip.get_tensor(d["index"]).astype(np.float32)
+                                 - q[1]) * q[0]
+    probs = jax.nn.sigmoid(jnp.asarray(heads[7].reshape(-1, 7)))[:, 1:]
+    boxes = decode_boxes(jnp.asarray(heads[4].reshape(-1, 4)),
+                         jnp.asarray(anchors), det.box_scale)
+    ref = postprocess_detections(
+        boxes, probs, jnp.float32(640), jnp.float32(360),
+        top_k=det.top_k, score_threshold=det.score_threshold,
+        iou_threshold=det.iou_threshold, max_outputs=det.max_outputs)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref[3]))
+    np.testing.assert_allclose(np.asarray(xyxy), np.asarray(ref[0]),
+                               rtol=1e-5, atol=1e-3)
