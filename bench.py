@@ -62,7 +62,8 @@ def make_video(path, n_frames, h, w):
     wr.release()
 
 
-def bench_multistream(n_streams: int, chunk: int = 8, enc_cap: int = 8):
+def bench_multistream(n_streams: int, chunk: int = 8, enc_cap: int = 8,
+                      model=None, quantized=False):
     """BASELINE.json config 5: N concurrent 720p streams on one chip, one
     SPMD dispatch per step (vmapped fused program; the Pallas JV kernel
     batches over streams via its custom_vmap grid rule). Each dispatch
@@ -79,7 +80,8 @@ def bench_multistream(n_streams: int, chunk: int = 8, enc_cap: int = 8):
     from deepdish_tpu.pipeline import FrameStep, FrameStepConfig
 
     H, W = 720, 1280
-    det = create_detector("ssd_mobilenet", max_outputs=32)
+    det = create_detector(model or "ssd_mobilenet", max_outputs=32,
+                          quantized=quantized)
     enc = create_box_encoder("mars")
     cfg = tt.TrackerConfig(max_tracks=64, max_detections=32,
                            gallery_size=64, num_labels=4)
@@ -153,7 +155,9 @@ def main():
     if "--streams" in sys.argv:
         return bench_multistream(_arg("--streams", 16),
                                  chunk=_arg("--stream-chunk", 8),
-                                 enc_cap=_arg("--enc-cap", 8))
+                                 enc_cap=_arg("--enc-cap", 8),
+                                 model=_arg("--model", None, str),
+                                 quantized="--quantized" in sys.argv)
 
     chunk = _arg("--chunk", 32)
     total_frames = _arg("--frames", 640)

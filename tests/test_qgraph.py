@@ -313,6 +313,10 @@ def test_quantized_detector_drives_framestep(ssd_int8_tflite):
         0, 255, (240, 320, 3)).astype(np.uint8)
     state, out, snap, raw = fs.step(state, jnp.asarray(frame))
     assert np.asarray(snap.valid).shape[0] == 8
+    # and the chunked-scan program (the throughput path the bench runs)
+    frames = np.stack([frame] * 2)
+    state, outs, snaps = fs.run_chunk(state, jnp.asarray(frames))
+    assert np.asarray(snaps.valid).shape[:2] == (2, 8)
 
 
 def test_cli_flag_quantized_inference_parses():
