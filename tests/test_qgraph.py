@@ -535,3 +535,25 @@ def test_legacy_uint8_detector_end_to_end(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref[3]))
     np.testing.assert_allclose(np.asarray(xyxy), np.asarray(ref[0]),
                                rtol=1e-5, atol=1e-3)
+
+
+def test_quantized_detector_in_multistream_engine(ssd_int8_tflite, rng):
+    """The integer program composes under the sharded multi-stream engine
+    (shard_map + vmapped FrameStep over the 8-device CPU mesh) — the path
+    `bench.py --streams N --quantized` dispatches."""
+    from deepdish_tpu import tracker as tt
+    from deepdish_tpu.models import create_box_encoder, create_detector
+    from deepdish_tpu.parallel import MultiStreamEngine, make_mesh
+    from deepdish_tpu.pipeline import FrameStep
+    det = create_detector(ssd_int8_tflite, quantized=True,
+                          score_threshold=0.3, max_outputs=8)
+    enc = create_box_encoder("dummy")
+    cfg = tt.TrackerConfig(max_tracks=8, max_detections=4, gallery_size=8,
+                           pending_size=4, num_labels=2, max_age=5)
+    fs = FrameStep(det, enc, cfg, ["person"], (72, 96))
+    eng = MultiStreamEngine(fs, n_streams=8, mesh=make_mesh(8))
+    states = eng.init_states()
+    frames = rng.randint(0, 255, size=(8, 72, 96, 3)).astype(np.uint8)
+    states, outs, snaps = eng.step(states, frames)
+    jax.block_until_ready(outs.track_id)
+    assert np.asarray(outs.track_id).shape == (8, 8)
