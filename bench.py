@@ -144,8 +144,40 @@ def bench_multistream(n_streams: int, chunk: int = 8, enc_cap: int = 8,
           f"device={jax.devices()[0].device_kind}", file=sys.stderr)
 
 
+def _device_init_watchdog(timeout_s: float = 600.0):
+    """The shared-pool tunnel can wedge for hours (jax.devices() never
+    returns — observed 02:10-07:00 on 2026-08-18). Normal device
+    discovery takes seconds; if it hasn't completed after `timeout_s`,
+    emit an explanatory JSON line instead of hanging the driver, and
+    exit. Disarmed the moment discovery succeeds, so slow compiles
+    (20-800 s on this pool) are unaffected."""
+    import threading
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "metric": "720p offline FPS decode->count (UNMEASURED)",
+                "value": 0.0,
+                "unit": "frames/s",
+                "vs_baseline": 0.0,
+                "error": f"TPU device discovery did not complete in "
+                         f"{timeout_s:.0f}s — shared pool wedged; see "
+                         "docs/BENCH_NOTES.md for the last measured "
+                         "numbers (3181 FPS single-stream, 4198 FPS "
+                         "16-stream aggregate)",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done
+
+
 def main():
     import jax
+    watchdog_done = _device_init_watchdog()
+    jax.devices()                      # block here, watched
+    watchdog_done.set()
     from deepdish_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     from deepdish_tpu import tracker as tt
