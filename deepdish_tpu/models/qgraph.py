@@ -229,9 +229,19 @@ class QGraphExecutor:
                     "int8/uint8 full-integer graphs are supported)")
             # legacy (pre-TF2) full-uint8 artifacts — the zoo
             # detect.tflite format — carry per-TENSOR uint8 weights with a
-            # weight zero point; the int8 scheme is symmetric (w_zp = 0)
+            # weight zero point; the int8 scheme is symmetric (w_zp = 0).
+            # Both schemes are normalized into the int8 domain here
+            # (subtract 128 from uint8 codes AND their zero points — a
+            # bijection that leaves (q - zp) unchanged), so the MXU path
+            # serves legacy artifacts too.
             w_zp = int(km.zp[0]) if km.zp is not None else 0
+            if kern.dtype == np.uint8:
+                kern = (kern.astype(np.int16) - 128).astype(np.int8)
+                w_zp -= 128
+            in_u8 = self.meta[qop.inputs[0]].dtype == np.uint8
             in_scale, in_zp = self._q(qop.inputs[0])
+            if in_u8:
+                in_zp -= 128
             out_scale, out_zp = self._q(qop.outputs[0])
             bias = None
             if len(qop.inputs) >= 3 and qop.inputs[2] >= 0:
@@ -264,14 +274,14 @@ class QGraphExecutor:
                                           meta_out.dtype)
             qop.attrs.update(stride=stride, dilation=dil, padding=padding,
                              in_zp=in_zp, out_zp=out_zp, w_zp=w_zp,
-                             act=(act_min, act_max), kkey=key)
+                             in_u8=in_u8, act=(act_min, act_max), kkey=key)
             self.consts[f"{key}/kernel"] = k
             self.consts[f"{key}/m0"] = m0
             self.consts[f"{key}/shift"] = sh
             if bias is not None:
                 self.consts[f"{key}/bias"] = bias
             if code in (CONV, FC):
-                self._prep_offset_map(qop, k, in_zp)
+                self._prep_offset_map(qop, k)
 
         elif code in (ADD, SUB):
             s1, z1 = self._q(qop.inputs[0])
@@ -426,18 +436,30 @@ class QGraphExecutor:
                 f"TFLite op {code} ({_OP_NAMES.get(code, '?')}) in an "
                 "integer graph")
 
-    def _prep_offset_map(self, qop: _QOp, k_hwio: np.ndarray, in_zp: int):
-        """MXU path: offset[ho, wo, co] = zp_in * sum of kernel taps whose
-        input sample is in-bounds (zero padding contributes x=0 to the int8
-        dot, but the true term is (0-ish...) — see module docstring).
-        Constant, because padding geometry is static."""
+    def _prep_offset_map(self, qop: _QOp, k_hwio: np.ndarray):
+        """MXU-path static correction. With activations/weights normalized
+        to the int8 domain and patches zero-padded, the exact accumulator
+        decomposes as
+
+            acc = dot(x', w') - w_zp * rowsum(x')
+                  - [ in_zp * W_inb - in_zp * w_zp * CNT ]
+
+        where W_inb[y, x, co] sums the kernel taps whose input sample is
+        in-bounds and CNT[y, x] counts those taps (times C_in) — both
+        constant because padding geometry is static. The bracket is
+        precomputed here; the rowsum is one cheap int32 reduction at run
+        time, needed only for legacy artifacts (w_zp != 0)."""
+        in_zp = qop.attrs["in_zp"]
+        w_zp = qop.attrs["w_zp"]
         if in_zp == 0:
             qop.attrs["offkey"] = None
             return
         key = qop.attrs["kkey"]
         in_shape = self.meta[qop.inputs[0]].shape
         if len(k_hwio.shape) == 2:                     # FC: no padding
-            off = in_zp * k_hwio.sum(axis=0, dtype=np.int64)
+            wsum = k_hwio.sum(axis=0, dtype=np.int64)
+            cnt = k_hwio.shape[0]
+            off = in_zp * wsum - in_zp * w_zp * cnt
             self.consts[f"{key}/off"] = off.astype(np.int32)
             qop.attrs["offkey"] = key
             return
@@ -452,16 +474,25 @@ class QGraphExecutor:
         mask = np.zeros((h + pt + pb, w + pl + pr), np.int64)
         mask[pt:pt + h, pl:pl + w] = 1
         ksum = k_hwio.sum(axis=2, dtype=np.int64)      # (kh, kw, co)
-        off = np.zeros((ho, wo, co), np.int64)
+        w_inb = np.zeros((ho, wo, co), np.int64)
+        cnt = np.zeros((ho, wo, 1), np.int64)
         for dy in range(kh):
             for dx in range(kw):
                 sub = mask[dy * dh: dy * dh + (ho - 1) * sh + 1: sh,
                            dx * dw: dx * dw + (wo - 1) * sw + 1: sw]
-                off += sub[:, :, None] * ksum[dy, dx][None, None, :]
-        self.consts[f"{key}/off"] = (in_zp * off).astype(np.int32)
+                w_inb += sub[:, :, None] * ksum[dy, dx][None, None, :]
+                cnt += sub[:, :, None] * ci
+        off = in_zp * w_inb - in_zp * w_zp * cnt
+        self.consts[f"{key}/off"] = off.astype(np.int32)
         qop.attrs["offkey"] = key
 
     # ---- trace-time execution ----
+
+    def _xs32(self, qop, x):
+        """Activation codes in the int8 domain as int32 (uint8 tensors are
+        shifted by -128, matching the prepare-time zp/kernel shift)."""
+        v = x.astype(jnp.int32)
+        return v - 128 if qop.attrs["in_u8"] else v
 
     def _use_mxu(self):
         if self.conv_impl == "auto":
@@ -488,21 +519,25 @@ class QGraphExecutor:
         key = qop.attrs["kkey"]
         k = consts[f"{key}/kernel"]
         kh, kw, ci, co = k.shape
-        if self._use_mxu() and qop.attrs["w_zp"] == 0:
-            p, ho, wo = self._patches(x, kh, kw, qop.attrs["stride"],
+        if self._use_mxu():
+            x8 = self._xs32(qop, x).astype(jnp.int8)
+            p, ho, wo = self._patches(x8, kh, kw, qop.attrs["stride"],
                                       qop.attrs["dilation"],
                                       qop.attrs["padding"])
+            flat = p.reshape(ho * wo, kh * kw * ci)
             acc = jax.lax.dot_general(
-                p.reshape(ho * wo, kh * kw * ci),
-                k.reshape(kh * kw * ci, co),
+                flat, k.reshape(kh * kw * ci, co),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32).reshape(ho, wo, co)
+            if qop.attrs["w_zp"]:
+                rowsum = jnp.sum(flat.astype(jnp.int32), axis=1) \
+                    .reshape(ho, wo, 1)
+                acc = acc - qop.attrs["w_zp"] * rowsum
             if qop.attrs["offkey"] is not None:
                 acc = acc - consts[f"{key}/off"]
         else:
-            # portable int32 path; also the legacy-uint8 path (per-tensor
-            # weight zero point subtracted in int32)
-            xs = x.astype(jnp.int32) - qop.attrs["in_zp"]
+            # portable int32 path (the cross-check oracle on any backend)
+            xs = self._xs32(qop, x) - qop.attrs["in_zp"]
             p, ho, wo = self._patches(xs, kh, kw, qop.attrs["stride"],
                                       qop.attrs["dilation"],
                                       qop.attrs["padding"])
@@ -518,7 +553,7 @@ class QGraphExecutor:
         key = qop.attrs["kkey"]
         k = consts[f"{key}/kernel"]                    # (kh, kw, 1, C)
         kh, kw, _, c = k.shape
-        xs = x.astype(jnp.int32) - qop.attrs["in_zp"]
+        xs = self._xs32(qop, x) - qop.attrs["in_zp"]
         p, ho, wo = self._patches(xs, kh, kw, qop.attrs["stride"],
                                   qop.attrs["dilation"],
                                   qop.attrs["padding"])
@@ -531,13 +566,17 @@ class QGraphExecutor:
         key = qop.attrs["kkey"]
         k = consts[f"{key}/kernel"]                    # (I, O)
         x2 = x.reshape(-1, k.shape[0])
-        if self._use_mxu() and qop.attrs["w_zp"] == 0:
-            acc = jax.lax.dot_general(x2, k, (((1,), (0,)), ((), ())),
+        if self._use_mxu():
+            x8 = self._xs32(qop, x2).astype(jnp.int8)
+            acc = jax.lax.dot_general(x8, k, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.int32)
+            if qop.attrs["w_zp"]:
+                acc = acc - qop.attrs["w_zp"] * jnp.sum(
+                    x8.astype(jnp.int32), axis=1, keepdims=True)
             if qop.attrs["offkey"] is not None:
                 acc = acc - consts[f"{key}/off"]
         else:
-            xs = x2.astype(jnp.int32) - qop.attrs["in_zp"]
+            xs = self._xs32(qop, x2) - qop.attrs["in_zp"]
             acc = jax.lax.dot_general(
                 xs, k.astype(jnp.int32) - qop.attrs["w_zp"],
                 (((1,), (0,)), ((), ())),

@@ -481,8 +481,8 @@ def test_legacy_uint8_graph_byte_exact(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(env[ti]),
                                       ip.get_tensor(ti),
                                       err_msg=ex.meta[ti].name)
-    # and the mxu-flagged path (which falls back to portable arithmetic
-    # for nonzero weight zero points) agrees
+    # and the int8-MXU path (4-term zero-point expansion: shifted int8
+    # dot + rowsum correction + static maps) agrees exactly
     ex_m = QGraphExecutor(path, conv_impl="mxu")
     for a, b in zip(ex.apply(ex.consts, jnp.asarray(x)),
                     ex_m.apply(ex_m.consts, jnp.asarray(x))):
