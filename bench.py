@@ -154,10 +154,13 @@ def _device_init_watchdog(timeout_s: float = 600.0):
     import threading
     done = threading.Event()
 
+    mode = ("multi-stream aggregate 720p FPS" if "--streams" in sys.argv
+            else "720p offline FPS decode->count")
+
     def watch():
         if not done.wait(timeout_s):
             print(json.dumps({
-                "metric": "720p offline FPS decode->count (UNMEASURED)",
+                "metric": f"{mode} (UNMEASURED)",
                 "value": 0.0,
                 "unit": "frames/s",
                 "vs_baseline": 0.0,

@@ -218,6 +218,10 @@ class QGraphExecutor:
         meta_out = self.meta[qop.outputs[0]]
         if meta_out.dtype in (np.int8, np.uint8):
             qop.attrs["out_dtype"] = _JDT[np.dtype(meta_out.dtype)]
+        elif meta_out.dtype == np.int16:
+            raise NotImplementedError(
+                f"16x8 quantization (int16 activations) in op "
+                f"{_OP_NAMES.get(code, code)} ({meta_out.name})")
 
         if code in (CONV, DW_CONV, FC):
             kt = qop.inputs[1]
@@ -760,7 +764,7 @@ class QuantizedSSDDetector:
                  top_k: int = 100, score_threshold: float = 0.5,
                  iou_threshold: float = 0.5, conv_impl: str = "auto",
                  anchors=None, box_scale=None, detections_cap=None,
-                 family: str = "ssd"):
+                 family: str = "ssd", pp_num_classes=None):
         from .ssd_mobilenet import BOX_SCALE, generate_anchors
         from .convert import read_tflite_io_quant
         io = read_tflite_io_quant(model_path)
@@ -799,9 +803,12 @@ class QuantizedSSDDetector:
         self._in_scale = float(in_meta.scale[0]) if in_meta.scale is not None \
             else 1.0
         self._in_zp = int(in_meta.zp[0]) if in_meta.zp is not None else 0
-        # the float EfficientDet heads carry NO background column
-        # (tools/tflite_object_detector.py label contract, 0-based);
-        # TF-OD SSD heads carry background at column 0
+        # Background column: the fused op's rule is authoritative when
+        # present (detection_postprocess.cc treats the score tensor as
+        # having a background column iff its width is num_classes + 1);
+        # raw-heads artifacts fall back to the family label contract
+        # (TF-OD SSD: background at column 0; EfficientDet: none)
+        self._pp_num_classes = pp_num_classes
         self._strip_background = family != "efficientdet"
 
     def detect(self, params, image_resized, orig_w, orig_h):
@@ -809,12 +816,12 @@ class QuantizedSSDDetector:
         x = image_resized
         if self._in_int8:
             # int8-input exports: AffineQuantize of the raw pixel value
-            # with the artifact's input scale/zero-point (TfLiteRound =
-            # half away from zero). For the common raw-pixel lattice
-            # (scale 1, zp -128) this reduces to the x - 128 shift.
-            xf = x.astype(jnp.float32) / np.float32(self._in_scale) \
-                + self._in_zp
-            q = jnp.sign(xf) * jnp.floor(jnp.abs(xf) + 0.5)
+            # with the artifact's input scale/zero-point — TfLiteRound
+            # (half away from zero) of value/scale FIRST, zero point added
+            # AFTER (the order flips tie directions). For the raw-pixel
+            # lattice (scale 1, zp -128) this reduces to the x - 128 shift.
+            xf = x.astype(jnp.float32) / np.float32(self._in_scale)
+            q = jnp.sign(xf) * jnp.floor(jnp.abs(xf) + 0.5) + self._in_zp
             x = jnp.clip(q, -128, 127).astype(jnp.int8)
         elif x.dtype != jnp.uint8:
             # the pipeline's MXU resize produces float; uint8-input graphs
@@ -841,7 +848,10 @@ class QuantizedSSDDetector:
             box_enc = four[0].reshape(-1, 4)
             scores = rest[0].reshape(-1, rest[0].shape[-1])
         probs = scores if self._heads_are_probs else jax.nn.sigmoid(scores)
-        if self._strip_background:
+        strip = (scores.shape[-1] == self._pp_num_classes + 1
+                 if self._pp_num_classes is not None
+                 else self._strip_background)
+        if strip:
             probs = probs[:, 1:]
         boxes = decode_boxes(box_enc.astype(jnp.float32), self.anchors,
                              self.box_scale)

@@ -202,8 +202,10 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
         pp = cvm.read_tflite_postprocess(model_name)
         if pp is not None:
             # the quantized decode works in normalized units for both
-            # families, so the op's normalized anchors pass unscaled
-            det_kw.update(_pp_det_kw(pp, score_threshold))
+            # families, so the op's normalized anchors pass unscaled;
+            # num_classes drives the background-column rule
+            det_kw.update(_pp_det_kw(pp, score_threshold),
+                          pp_num_classes=pp.num_classes)
         det = QuantizedSSDDetector(model_name, max_outputs=max_outputs,
                                    **det_kw)
         labels = None

@@ -90,22 +90,14 @@ def append_detection_postprocess(
     return bytes(b.Output())
 
 
-def build_legacy_uint8_model(seed: int = 3) -> bytes:
-    """Author, from scratch, a flatbuffer in the LEGACY full-uint8 format
-    of the original zoo artifacts (detectors/coco/detect.tflite,
-    ssd_mobilenet_v*_coco_quant_postprocess: per-TENSOR uint8 weights with
-    a weight zero point, uint8 activations, int32 biases) — the
-    quantization scheme pre-TF2 converters emitted and tf.lite can no
-    longer produce, so the wire format is written by hand here. Graph:
-    uint8 input -> CONV(relu6) -> DEPTHWISE_CONV(relu6) -> CONV -> uint8
-    output."""
-    import flatbuffers
+def _legacy_model_scaffold():
+    """Fresh (model, subgraph, helpers) for hand-authoring legacy uint8
+    flatbuffers: add_buffer / add_tensor / opcode closures bound to the
+    model under construction."""
     from tensorflow.lite.python import schema_py_generated as fb
 
-    rng = np.random.RandomState(seed)
     model = fb.ModelT()
     model.version = 3
-    model.description = b"legacy uint8 test artifact"
     model.buffers = [fb.BufferT()]                 # buffer 0: empty
     sg = fb.SubGraphT()
     sg.tensors = []
@@ -144,22 +136,16 @@ def build_legacy_uint8_model(seed: int = 3) -> bytes:
         model.operatorCodes.append(oc)
         return len(model.operatorCodes) - 1
 
-    UINT8, INT32 = 3, 2
-    s_in = 0.0078125
-    x_t = add_tensor("input", (1, 8, 8, 3), UINT8, s_in, 128)
-
-    def conv(xt, cin, cout, dw, s_out, name, fused=3):
+    def add_conv(rng, xt, cin, cout, dw, s_out, name, fused=3,
+                 spatial=(8, 8)):
         kshape = (1, 3, 3, cin) if dw else (cout, 3, 3, cin)
         w = rng.randint(0, 256, kshape).astype(np.uint8)
-        s_w = 0.02
-        w_zp = 127
-        wt = add_tensor(f"{name}/w", kshape, UINT8, s_w, w_zp,
-                        add_buffer(w))
+        wt = add_tensor(f"{name}/w", kshape, 3, 0.02, 127, add_buffer(w))
         s_i = float(sg.tensors[xt].quantization.scale[0])
         bias = rng.randint(-2000, 2000, cout).astype(np.int32)
-        bt = add_tensor(f"{name}/b", (cout,), INT32, s_i * s_w, 0,
+        bt = add_tensor(f"{name}/b", (cout,), 2, s_i * 0.02, 0,
                         add_buffer(bias))
-        ot = add_tensor(f"{name}/out", (1, 8, 8, cout), UINT8, s_out, 128)
+        ot = add_tensor(f"{name}/out", (1, *spatial, cout), 3, s_out, 128)
         op = fb.OperatorT()
         op.opcodeIndex = opcode(4 if dw else 3)
         op.inputs = [xt, wt, bt]
@@ -167,10 +153,10 @@ def build_legacy_uint8_model(seed: int = 3) -> bytes:
         if dw:
             o = fb.DepthwiseConv2DOptionsT()
             o.depthMultiplier = 1
-            op.builtinOptionsType = 2      # DepthwiseConv2DOptions
+            op.builtinOptionsType = 2      # BuiltinOptions.DepthwiseConv2DOptions
         else:
             o = fb.Conv2DOptionsT()
-            op.builtinOptionsType = 1      # Conv2DOptions
+            op.builtinOptionsType = 1      # BuiltinOptions.Conv2DOptions
         o.padding = 0                      # SAME
         o.strideW = o.strideH = 1
         o.fusedActivationFunction = fused
@@ -179,15 +165,34 @@ def build_legacy_uint8_model(seed: int = 3) -> bytes:
         sg.operators.append(op)
         return ot
 
-    h1 = conv(x_t, 3, 8, False, 0.03, "conv0")
-    h2 = conv(h1, 8, 8, True, 0.025, "dw1")
-    h3 = conv(h2, 8, 4, False, 0.05, "conv2", fused=0)
+    def finish():
+        import flatbuffers
+        builder = flatbuffers.Builder(1024)
+        builder.Finish(model.Pack(builder), b"TFL3")
+        return bytes(builder.Output())
+
+    return fb, model, sg, add_buffer, add_tensor, opcode, add_conv, finish
+
+
+def build_legacy_uint8_model(seed: int = 3) -> bytes:
+    """Author, from scratch, a flatbuffer in the LEGACY full-uint8 format
+    of the original zoo artifacts (detectors/coco/detect.tflite,
+    ssd_mobilenet_v*_coco_quant_postprocess: per-TENSOR uint8 weights with
+    a weight zero point, uint8 activations, int32 biases) — the
+    quantization scheme pre-TF2 converters emitted and tf.lite can no
+    longer produce, so the wire format is written by hand here. Graph:
+    uint8 input -> CONV(relu6) -> DEPTHWISE_CONV(relu6) -> CONV -> uint8
+    output."""
+    rng = np.random.RandomState(seed)
+    (fb, model, sg, add_buffer, add_tensor,
+     opcode, add_conv, finish) = _legacy_model_scaffold()
+    x_t = add_tensor("input", (1, 8, 8, 3), 3, 0.0078125, 128)
+    h1 = add_conv(rng, x_t, 3, 8, False, 0.03, "conv0")
+    h2 = add_conv(rng, h1, 8, 8, True, 0.025, "dw1")
+    h3 = add_conv(rng, h2, 8, 4, False, 0.05, "conv2", fused=0)
     sg.inputs = [x_t]
     sg.outputs = [h3]
-
-    builder = flatbuffers.Builder(1024)
-    builder.Finish(model.Pack(builder), b"TFL3")
-    return bytes(builder.Output())
+    return finish()
 
 
 def build_legacy_uint8_detector(seed: int = 5, num_anchors: int = 64,
@@ -197,102 +202,34 @@ def build_legacy_uint8_detector(seed: int = 5, num_anchors: int = 64,
     RESHAPEd to (1, A, 4) box encodings and (1, A, num_cols) class
     logits — the tensor contract the SSD decode consumes. Everything
     stays uint8 (per-tensor, nonzero weight zero points) end to end."""
-    import flatbuffers
-    from tensorflow.lite.python import schema_py_generated as fb
-
     rng = np.random.RandomState(seed)
-    model = fb.ModelT()
-    model.version = 3
-    model.buffers = [fb.BufferT()]
-    sg = fb.SubGraphT()
-    sg.tensors = []
-    sg.operators = []
-    model.subgraphs = [sg]
-    model.operatorCodes = []
-
-    def add_buffer(arr):
-        b = fb.BufferT()
-        b.data = np.frombuffer(np.ascontiguousarray(arr).tobytes(),
-                               np.uint8)
-        model.buffers.append(b)
-        return len(model.buffers) - 1
-
-    def add_tensor(name, shape, ttype, scale, zp, buf=0):
-        t = fb.TensorT()
-        t.name = name.encode()
-        t.shape = list(shape)
-        t.type = ttype
-        t.buffer = buf
-        q = fb.QuantizationParametersT()
-        q.scale = [float(scale)]
-        q.zeroPoint = [int(zp)]
-        t.quantization = q
-        sg.tensors.append(t)
-        return len(sg.tensors) - 1
-
-    def opcode(code):
-        for i, oc in enumerate(model.operatorCodes):
-            if oc.builtinCode == code:
-                return i
-        oc = fb.OperatorCodeT()
-        oc.builtinCode = code
-        oc.deprecatedBuiltinCode = code
-        oc.version = 1
-        model.operatorCodes.append(oc)
-        return len(model.operatorCodes) - 1
-
-    UINT8, INT32 = 3, 2
-    x_t = add_tensor("input", (1, 8, 8, 3), UINT8, 0.0078125, 128)
-
-    def conv(xt, cin, cout, s_out, name, fused=3):
-        w = rng.randint(0, 256, (cout, 3, 3, cin)).astype(np.uint8)
-        wt = add_tensor(f"{name}/w", w.shape, UINT8, 0.02, 127,
-                        add_buffer(w))
-        s_i = float(sg.tensors[xt].quantization.scale[0])
-        bias = rng.randint(-2000, 2000, cout).astype(np.int32)
-        bt = add_tensor(f"{name}/b", (cout,), INT32, s_i * 0.02, 0,
-                        add_buffer(bias))
-        ot = add_tensor(f"{name}/out", (1, 8, 8, cout), UINT8, s_out, 128)
-        op = fb.OperatorT()
-        op.opcodeIndex = opcode(3)
-        op.inputs = [xt, wt, bt]
-        op.outputs = [ot]
-        o = fb.Conv2DOptionsT()
-        o.padding = 0
-        o.strideW = o.strideH = 1
-        o.fusedActivationFunction = fused
-        o.dilationWFactor = o.dilationHFactor = 1
-        op.builtinOptionsType = 1
-        op.builtinOptions = o
-        sg.operators.append(op)
-        return ot
+    (fb, model, sg, add_buffer, add_tensor,
+     opcode, add_conv, finish) = _legacy_model_scaffold()
 
     def reshape(xt, shape, name):
-        st = add_tensor(f"{name}/shape", (len(shape),), INT32, 1.0, 0,
+        st = add_tensor(f"{name}/shape", (len(shape),), 2, 1.0, 0,
                         add_buffer(np.asarray(shape, np.int32)))
         q = sg.tensors[xt].quantization
-        ot = add_tensor(f"{name}/out", shape, UINT8,
-                        q.scale[0], q.zeroPoint[0])
+        ot = add_tensor(f"{name}/out", shape, 3, q.scale[0], q.zeroPoint[0])
         op = fb.OperatorT()
         op.opcodeIndex = opcode(22)
         op.inputs = [xt, st]
         op.outputs = [ot]
         o = fb.ReshapeOptionsT()
         o.newShape = list(shape)
-        op.builtinOptionsType = 22     # ReshapeOptions
+        op.builtinOptionsType = 17     # BuiltinOptions.ReshapeOptions
         op.builtinOptions = o
         sg.operators.append(op)
         return ot
 
-    trunk = conv(x_t, 3, 8, 0.03, "conv0")
+    x_t = add_tensor("input", (1, 8, 8, 3), 3, 0.0078125, 128)
+    trunk = add_conv(rng, x_t, 3, 8, False, 0.03, "conv0")
     na = num_anchors // 64             # anchors per cell on the 8x8 grid
-    box = conv(trunk, 8, na * 4, 0.04, "box_head", fused=0)
-    cls = conv(trunk, 8, na * num_cols, 0.05, "cls_head", fused=0)
+    box = add_conv(rng, trunk, 8, na * 4, False, 0.04, "box_head", fused=0)
+    cls = add_conv(rng, trunk, 8, na * num_cols, False, 0.05, "cls_head",
+                   fused=0)
     box_r = reshape(box, (1, num_anchors, 4), "box")
     cls_r = reshape(cls, (1, num_anchors, num_cols), "cls")
     sg.inputs = [x_t]
     sg.outputs = [box_r, cls_r]
-
-    builder = flatbuffers.Builder(1024)
-    builder.Finish(model.Pack(builder), b"TFL3")
-    return bytes(builder.Output())
+    return finish()

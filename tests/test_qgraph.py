@@ -557,3 +557,24 @@ def test_quantized_detector_in_multistream_engine(ssd_int8_tflite, rng):
     states, outs, snaps = eng.step(states, frames)
     jax.block_until_ready(outs.track_id)
     assert np.asarray(outs.track_id).shape == (8, 8)
+
+
+@pytest.mark.timeout(900)
+def test_quantized_zoo_layout_strip_rule(tmp_path):
+    """A full-int8 export WITH the fused postprocess op (the real zoo
+    layout): the background-column decision follows the op's rule —
+    strip iff score width == num_classes + 1 (detection_postprocess.cc) —
+    regardless of the filename-inferred family."""
+    from test_pipeline_real_tflite import _make_full_ssd_tflite
+    from deepdish_tpu.models import create_detector
+    from deepdish_tpu.models.qgraph import QuantizedSSDDetector
+    path = _make_full_ssd_tflite(tmp_path, full_int8=True, postprocess=True)
+    det = create_detector(path, quantized=True, max_outputs=8)
+    assert isinstance(det, QuantizedSSDDetector)
+    assert det._pp_num_classes == 90       # 91 score columns -> strip
+    x = np.random.RandomState(6).randint(
+        0, 256, (300, 300, 3)).astype(np.uint8)
+    xyxy, classes, scores, valid = det.detect_jit(
+        jnp.asarray(x), jnp.float32(640), jnp.float32(360))
+    assert xyxy.shape == (8, 4)
+    assert int(np.asarray(classes).max()) < 90
