@@ -10,26 +10,35 @@ the flatbuffer's op stream with gemmlowp fixed-point requantization
 (ops/intmath.py), so every intermediate tensor is bit-equal to the TFLite
 reference kernels, and the hot matmuls run as int8 MXU contractions.
 
+Both quantization schemes run: the modern per-channel int8 exports AND
+the legacy per-tensor full-uint8 scheme of the original zoo files
+(detect.tflite — per-TENSOR uint8 weights WITH weight zero points).
+uint8 codes and zero points are normalized into the int8 domain at load
+(a -128 shift, bijective in q - zp), so one arithmetic serves both.
+
 Execution model: static shapes throughout (they are static in the
 flatbuffer), one Python loop over ops at trace time, everything under one
 jit. Convolutions have two exact implementations:
 
-  * portable: subtract the input zero point (int32), zero-pad, im2col,
-    int32 dot — correct on any backend;
-  * mxu: keep activations int8, zero-pad, im2col, int8 x int8 -> int32
-    dot_general (the TPU's 2x-rate MXU path), then add a PRECOMPUTED
-    per-position zero-point offset map (zp * sum of in-bounds kernel taps
-    — constant because padding geometry is static).
+  * portable: subtract input/weight zero points (int32), zero-pad,
+    im2col, int32 dot — correct on any backend, the cross-check oracle;
+  * mxu: int8 activations, zero-pad, im2col, int8 x int8 -> int32
+    dot_general (the TPU's 2x-rate MXU path); zero-point terms restored
+    exactly as one int32 rowsum (weight zp, legacy only) plus a
+    PRECOMPUTED static map (input zp x in-bounds kernel-tap sums —
+    constant because padding geometry is static).
 
 Both produce identical accumulators (tests/test_qgraph.py asserts it);
 `conv_impl="auto"` picks mxu on TPU backends.
 
 Supported ops: CONV_2D, DEPTHWISE_CONV_2D, FULLY_CONNECTED, ADD, SUB, MUL,
-QUANTIZE (requantize), DEQUANTIZE, RESHAPE, CONCATENATION, LOGISTIC (int8
-LUT), MAX_POOL_2D, AVERAGE_POOL_2D, PAD, SOFTMAX(float), and the
+QUANTIZE (requantize), DEQUANTIZE, RESHAPE, CONCATENATION, LOGISTIC
+(int8/uint8 LUT), MAX_POOL_2D, AVERAGE_POOL_2D, PAD, TILE, STRIDED_SLICE
+(stride 1), RESIZE_NEAREST_NEIGHBOR, SOFTMAX(float), and the
 TFLite_Detection_PostProcess custom op as a STOP point (its float inputs
 become the executor's outputs; the native decode consumes them, matching
-tools/ssd_mobilenet.py:104-127). Anything else raises with the op name.
+tools/ssd_mobilenet.py:104-127). Anything else raises with the op name;
+16x8-quantized artifacts (int16 activations) are rejected at parse.
 """
 from __future__ import annotations
 
