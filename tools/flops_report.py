@@ -6,7 +6,12 @@ cost-analysis FLOP count per frame, then the implied TFLOPS / MFU at a
 given FPS. Keeps the MFU claims in docs/BENCH_NOTES.md reproducible.
 
 Usage: python tools/flops_report.py [--chunk 32] [--enc-cap 8] [--fps 3181]
-                                    [--model ssd_mobilenet]
+                                    [--model ssd_mobilenet] [--quantized]
+
+--quantized composes the integer-datapath detector (models/qgraph.py)
+into the same fused program; note XLA's "flops" counter also tallies the
+integer multiply-adds, so bf16-vs-int8 numbers compare op counts, not
+achievable rates (the int8 MXU runs them at 2x the bf16 rate).
 """
 import sys
 
@@ -33,7 +38,8 @@ def main():
 
     H, W = 720, 1280
     model = _arg("--model", "ssd_mobilenet", str)
-    det = create_detector(model, max_outputs=32)
+    det = create_detector(model, max_outputs=32,
+                          quantized="--quantized" in sys.argv)
     enc = create_box_encoder("mars")
     cfg = tt.TrackerConfig(max_tracks=64, max_detections=32,
                            gallery_size=64, num_labels=4)
