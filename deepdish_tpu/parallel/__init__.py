@@ -1,1 +1,2 @@
 from .multistream import MultiStreamEngine, make_mesh  # noqa: F401
+from .temporal import TemporalChunkEngine  # noqa: F401

@@ -271,39 +271,33 @@ class FrameStep:
         table, out = tt.step(self.tracker_cfg, state.table, dets)
         return PipelineState(table, bg), out, snap
 
-    def _run_chunk(self, params, state: PipelineState, frames):
-        """frames (F, H, W, 3) -> (state, stacked outputs, snaps).
+    def _detect_encode_frames(self, params, frames, integrals=None):
+        """Per-frame detector + filters + NMS + crop + embed for a stack of
+        frames (F, H, W, 3) -> (Detections, DetectionSnapshot) stacked on F.
 
-        Stage structure: sequential MOG2 scan (temporal state) -> vmapped
-        detector+NMS -> per-frame crop, then ONE encoder forward over the
-        whole (F*E,) patch batch (a single large MXU batch instead of F
-        vmap lanes) -> lax.scan tracker.
-        """
+        This is the parallelizable bulk of the chunk program (no temporal
+        state): the detector/NMS run vmapped over the frame axis and the
+        encoder runs ONE (F*E,) MXU batch. The sequential pieces (MOG2
+        scan, tracker scan) stay in `_run_chunk`; the temporal
+        sequence-parallel engine (parallel/temporal.py) shards this part
+        over a device mesh and gathers before the tracker scan."""
         F = frames.shape[0]
         E = self._enc_cap
-        if self.step_cfg.background_subtraction:
-            def bg_scan(bg, frame):
-                bg2, integral, masked = self._apply_bgsub(bg, frame)
-                return bg2, (integral, masked)
-            bg, (integrals, masked_frames) = jax.lax.scan(
-                bg_scan, state.bg, frames)
-        else:
-            bg, integrals, masked_frames = state.bg, None, frames
 
         def detect_one(frame, integral):
             raw = self._detect_raw(params, frame)
             return self._filter_and_nms(integral, *raw)
 
         if integrals is None:
-            snaps = jax.vmap(lambda f: detect_one(f, None))(masked_frames)
+            snaps = jax.vmap(lambda f: detect_one(f, None))(frames)
         else:
-            snaps = jax.vmap(detect_one)(masked_frames, integrals)
+            snaps = jax.vmap(detect_one)(frames, integrals)
 
         # crop per frame (each box samples its own frame), embed chunk-wide
         patches, ok = jax.vmap(
             lambda f, t, v: crop_resize_patches_mxu(
                 f, t[:E], v[:E], self.encoder.height, self.encoder.width)
-        )(masked_frames, snaps.tlwh, snaps.valid)
+        )(frames, snaps.tlwh, snaps.valid)
         flat = patches.reshape((F * E,) + patches.shape[2:])
         feats = self.encoder.apply(flat, params.get("enc"))
         feats = jnp.where(ok.reshape(F * E)[:, None], feats, 0.0)
@@ -313,6 +307,27 @@ class FrameStep:
         dets = tt.Detections(tlwh=snaps.tlwh, confidence=snaps.score,
                              label=snaps.label, feature=feats,
                              valid=snaps.valid)
+        return dets, snaps
+
+    def _run_chunk(self, params, state: PipelineState, frames):
+        """frames (F, H, W, 3) -> (state, stacked outputs, snaps).
+
+        Stage structure: sequential MOG2 scan (temporal state) -> vmapped
+        detector+NMS -> per-frame crop, then ONE encoder forward over the
+        whole (F*E,) patch batch (a single large MXU batch instead of F
+        vmap lanes) -> lax.scan tracker.
+        """
+        if self.step_cfg.background_subtraction:
+            def bg_scan(bg, frame):
+                bg2, integral, masked = self._apply_bgsub(bg, frame)
+                return bg2, (integral, masked)
+            bg, (integrals, masked_frames) = jax.lax.scan(
+                bg_scan, state.bg, frames)
+        else:
+            bg, integrals, masked_frames = state.bg, None, frames
+
+        dets, snaps = self._detect_encode_frames(params, masked_frames,
+                                                 integrals)
 
         def scan_body(tbl, det):
             tbl, out = tt.step(self.tracker_cfg, tbl, det)
