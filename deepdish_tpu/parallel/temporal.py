@@ -60,8 +60,16 @@ class TemporalChunkEngine:
         self.fs = framestep
         self.mesh = mesh if mesh is not None else make_mesh(
             axis_name=axis_name)
-        axis = self.mesh.axis_names[0]
-        self.n_devices = len(self.mesh.devices.flat)
+        # Honor the caller's axis_name when it exists in a user-supplied
+        # mesh; otherwise fall back to the mesh's first axis. Frames are
+        # sharded along that one axis only, so the divisibility check and
+        # shard count must use that axis's extent — on a 2-D mesh the
+        # second axis merely replicates the (deterministic) work.
+        if axis_name in self.mesh.axis_names:
+            axis = axis_name
+        else:
+            axis = self.mesh.axis_names[0]
+        self.n_devices = int(self.mesh.shape[axis])
         self._repl = NamedSharding(self.mesh, P())
         self._shard = NamedSharding(self.mesh, P(axis))
 

@@ -100,18 +100,22 @@ def test_bgsub_rejected(fs):
         TemporalChunkEngine(fs_bg, mesh=make_mesh(8, axis_name="frame"))
 
 
-def test_yuv_path_matches_rgb(engine, fs, rng):
-    """The sharded YUV entry converts on-device per shard and must match
-    the sharded RGB path on the equivalent input."""
+def test_yuv_path_matches_single_device_yuv(engine, fs, rng):
+    """The sharded YUV entry converts on-device per shard with the same
+    kernel as the single-device path, so on the SAME YUV input the sharded
+    engine must reproduce FrameStep.run_chunk_yuv exactly (track ids and
+    table state), not merely execute."""
     import cv2
     frames = _frames(rng, 8)
     yuv = np.stack([
         cv2.cvtColor(cv2.cvtColor(f, cv2.COLOR_RGB2BGR),
                      cv2.COLOR_BGR2YUV_I420) for f in frames])
-    s_rgb, outs_rgb, _ = engine.run_chunk(fs.init_state(), frames)
-    s_yuv, outs_yuv, _ = engine.run_chunk_yuv(fs.init_state(), yuv)
-    # YUV420 is lossy (chroma subsampling), so compare structure, not bits:
-    # same number of emitted tracks is too strict for random noise frames;
-    # just require both paths executed and produced the same shapes.
-    assert (np.asarray(outs_rgb.track_id).shape
-            == np.asarray(outs_yuv.track_id).shape)
+    s_ref, outs_ref, snaps_ref = fs.run_chunk_yuv(fs.init_state(), yuv)
+    s_sp, outs_sp, snaps_sp = engine.run_chunk_yuv(fs.init_state(), yuv)
+    np.testing.assert_array_equal(np.asarray(outs_ref.track_id),
+                                  np.asarray(outs_sp.track_id))
+    np.testing.assert_array_equal(np.asarray(snaps_ref.valid),
+                                  np.asarray(snaps_sp.valid))
+    np.testing.assert_allclose(np.asarray(s_ref.table.mean),
+                               np.asarray(s_sp.table.mean),
+                               rtol=1e-5, atol=1e-4)
