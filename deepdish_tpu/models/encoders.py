@@ -106,4 +106,10 @@ def create_box_encoder(model_name: str, params=None) -> EncoderSpec:
             elif name.endswith((".pb", ".tflite")):
                 from .convert import load_mars
                 params = load_mars(name)[0]
+    if "int8" in name or "quant" in name:
+        # int8 MXU serving mode (models/mars_q.py) — the analog of the
+        # reference's quantized TFLite encoder artifacts
+        # (tools/generate_detections.py:151-177).
+        from .mars_q import make_mars_int8_encoder
+        return make_mars_int8_encoder(params=params)
     return make_mars_encoder(params=params)
