@@ -222,16 +222,52 @@ def generate_anchors(input_size: int = INPUT_SIZE) -> np.ndarray:
     return np.asarray(anchors, np.float32)
 
 
+def build_label_filter_lut(labels, label_allow, label_deny):
+    """Class-id -> keep? LUT for the reference's allow/deny-list options
+    (tools/tflite_object_detector.py:47-53, 275-289: deny filter first,
+    then allow filter). Returns None when both lists are unset. The LUT
+    carries one extra trailing slot for class ids with no label-map entry:
+    such names cannot appear in either list, so they are kept under a
+    deny-only filter and dropped when an allow list is set — the exact
+    membership semantics the reference's name-based filters produce."""
+    if not label_allow and not label_deny:
+        return None
+    n = max(labels) + 1 if labels else 0
+    lut = np.full((n + 1,), label_allow is None, bool)
+    for idx, name in labels.items():
+        keep = True
+        if label_deny and name in label_deny:
+            keep = False
+        if label_allow is not None and name not in label_allow:
+            keep = False
+        lut[idx] = keep
+    return jnp.asarray(lut)
+
+
+def apply_result_filter(classes, valid, lut, max_results):
+    """In-jit analog of the reference's result filtering
+    (tools/tflite_object_detector.py:270-295): detections arrive in
+    descending-score slot order, allow/deny masks apply per class, and at
+    most `max_results` top-scored survivors stay valid."""
+    if lut is not None:
+        n = lut.shape[0] - 1          # trailing slot = unknown-class ids
+        valid = valid & lut[jnp.minimum(classes, n)]
+    if max_results and max_results > 0:
+        valid = valid & (jnp.cumsum(valid.astype(jnp.int32)) <= max_results)
+    return valid
+
+
 class EfficientDetLite0Detector:
     """Fused detect with the metadata-driven postprocess semantics of
     tools/tflite_object_detector.py:234-295 (score threshold, max_results,
-    per-class NMS)."""
+    per-class NMS, allow/deny label lists)."""
 
     def __init__(self, params=None, seed: int = 0, max_outputs: int = 32,
                  top_k: int = 100, score_threshold: float = 0.5,
                  iou_threshold: float = 0.5, compute_dtype=jnp.bfloat16,
                  norm_mean=(127.0,), norm_std=(128.0,),
-                 anchors=None, box_scale=None, detections_cap=None):
+                 anchors=None, box_scale=None, detections_cap=None,
+                 label_allow=None, label_deny=None, max_results: int = -1):
         self.width = self.height = INPUT_SIZE
         self.net = EfficientDetLite0(compute_dtype=compute_dtype,
                                      norm_mean=tuple(norm_mean),
@@ -254,6 +290,18 @@ class EfficientDetLite0Detector:
         # a fused postprocess op's max_detections: slots past it are
         # invalidated (shape stays max_outputs for the pipeline programs)
         self.detections_cap = detections_cap
+        # reference option surface (ObjectDetectorOptions): allow/deny
+        # lists resolve to a class-id LUT once labels are known
+        # (finalize_label_filter, called by the registry after it attaches
+        # det.labels); max_results truncates to the top-scored survivors.
+        self.label_allow = list(label_allow) if label_allow else None
+        self.label_deny = list(label_deny) if label_deny else None
+        self.max_results = max_results
+        self._filter_lut = None
+
+    def finalize_label_filter(self):
+        self._filter_lut = build_label_filter_lut(
+            getattr(self, "labels", {}), self.label_allow, self.label_deny)
 
     def detect(self, params, image_resized, orig_w, orig_h):
         box_enc, logits = self.net.apply(params, image_resized)
@@ -285,8 +333,10 @@ class EfficientDetLite0Detector:
         if self.detections_cap is not None and self.detections_cap < K:
             # descending-score slots: keep exactly what the fused op emits
             valid = valid & (np.arange(K) < self.detections_cap)
-        return (xyxy[order], top_classes[order], top_scores[order],
-                valid)
+        out_classes = top_classes[order]
+        valid = apply_result_filter(out_classes, valid, self._filter_lut,
+                                    self.max_results)
+        return (xyxy[order], out_classes, top_scores[order], valid)
 
     @functools.partial(jax.jit, static_argnums=0)
     def detect_jit(self, image_resized, orig_w, orig_h):

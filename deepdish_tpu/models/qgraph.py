@@ -351,7 +351,9 @@ class QGraphExecutor:
             # common.h; also XNNPACK's table)
             qmin = int(np.iinfo(dt).min)
             q = np.arange(qmin, qmin + 256, dtype=np.float64)
-            x = si * (q - zi)
+            # exp(709+) overflows float64 and warned; the sigmoid saturates
+            # identically with the argument clipped far inside the range
+            x = np.clip(si * (q - zi), -500.0, 500.0)
             y = 1.0 / (1.0 + np.exp(-x))
             omin = int(np.iinfo(self.meta[qop.outputs[0]].dtype).min)
             lut = np.clip(_round_half_away(y / so) + zo, omin, omin + 255)
@@ -773,7 +775,8 @@ class QuantizedSSDDetector:
                  top_k: int = 100, score_threshold: float = 0.5,
                  iou_threshold: float = 0.5, conv_impl: str = "auto",
                  anchors=None, box_scale=None, detections_cap=None,
-                 family: str = "ssd", pp_num_classes=None):
+                 family: str = "ssd", pp_num_classes=None,
+                 label_allow=None, label_deny=None, max_results: int = -1):
         from .ssd_mobilenet import BOX_SCALE, generate_anchors
         from .convert import read_tflite_io_quant
         io = read_tflite_io_quant(model_path)
@@ -819,6 +822,18 @@ class QuantizedSSDDetector:
         # (TF-OD SSD: background at column 0; EfficientDet: none)
         self._pp_num_classes = pp_num_classes
         self._strip_background = family != "efficientdet"
+        # reference allow/deny/max_results options (ObjectDetectorOptions,
+        # tools/tflite_object_detector.py:47-53) — same plumbing as the
+        # float EfficientDet wrapper
+        self.label_allow = list(label_allow) if label_allow else None
+        self.label_deny = list(label_deny) if label_deny else None
+        self.max_results = max_results
+        self._filter_lut = None
+
+    def finalize_label_filter(self):
+        from .efficientdet import build_label_filter_lut
+        self._filter_lut = build_label_filter_lut(
+            getattr(self, "labels", {}), self.label_allow, self.label_deny)
 
     def detect(self, params, image_resized, orig_w, orig_h):
         from .ssd_mobilenet import decode_boxes, postprocess_detections
@@ -864,11 +879,15 @@ class QuantizedSSDDetector:
             probs = probs[:, 1:]
         boxes = decode_boxes(box_enc.astype(jnp.float32), self.anchors,
                              self.box_scale)
-        return postprocess_detections(
+        xyxy, classes, out_scores, valid = postprocess_detections(
             boxes, probs.astype(jnp.float32), orig_w, orig_h,
             top_k=self.top_k, score_threshold=self.score_threshold,
             iou_threshold=self.iou_threshold, max_outputs=self.max_outputs,
             detections_cap=self.detections_cap)
+        from .efficientdet import apply_result_filter
+        valid = apply_result_filter(classes, valid, self._filter_lut,
+                                    self.max_results)
+        return xyxy, classes, out_scores, valid
 
     def detect_jit(self, image_resized, orig_w, orig_h):
         if not hasattr(self, "_djit"):

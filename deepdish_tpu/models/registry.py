@@ -153,7 +153,9 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
                     score_threshold: float = 0.5, params=None,
                     max_outputs: int = 32,
                     allow_random_weights: bool = False,
-                    quantized: bool = False, **kw):
+                    quantized: bool = False,
+                    label_allow=None, label_deny=None,
+                    max_results: int = -1, **kw):
     """Substring dispatch like deepdish.py:482-502. When `model_name` is an
     existing weight file (.tflite/.h5/.npz) the pre-trained weights are
     converted on load (models/convert.py) — the TPU-native replacement for
@@ -198,7 +200,9 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
         from . import convert as cvm
         from .qgraph import QuantizedSSDDetector
         det_kw = dict(score_threshold=score_threshold,
-                      family="efficientdet" if is_effdet else "ssd")
+                      family="efficientdet" if is_effdet else "ssd",
+                      label_allow=label_allow, label_deny=label_deny,
+                      max_results=max_results)
         pp = cvm.read_tflite_postprocess(model_name)
         if pp is not None:
             # the quantized decode works in normalized units for both
@@ -218,6 +222,7 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
         det.labels = {i: n for i, n in
                       enumerate(labels or load_labels(label_file))}
         det.label_offset = 0
+        det.finalize_label_filter()
         return det
     extras = {}
     if params is None and model_name and os.path.isfile(model_name):
@@ -340,7 +345,9 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
                 meta.update(read_metadata(model_name))
             except Exception as e:
                 print(f"tflite metadata unavailable ({e}); using defaults")
-        det_kw = dict(score_threshold=score_threshold)
+        det_kw = dict(score_threshold=score_threshold,
+                      label_allow=label_allow, label_deny=label_deny,
+                      max_results=max_results)
         if pp is not None:
             # the float EfficientDet decode works in pixels, so the op's
             # normalized anchors are scaled by the model input size
@@ -356,6 +363,7 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
                   else load_labels(label_file))
         det.labels = {i: n for i, n in enumerate(labels)}
         det.label_offset = 0
+        det.finalize_label_filter()
         return det
     if "ssd" in name or "mobilenet" in name or "edgetpu" in name:
         det_kw = dict(score_threshold=score_threshold)

@@ -98,6 +98,19 @@ def build_parser() -> argparse.ArgumentParser:
              'fused device program encodes every detection of a frame in '
              'one batch (see --encode-capacity for the real knob)')
     add('--labels', metavar='FILE', default=None)
+    # generic-TFLite detector option surface (ObjectDetectorOptions,
+    # tools/tflite_object_detector.py:47-53): deny filter first, then
+    # allow filter, then top-scored truncation — all in-jit on the native
+    # EfficientDet/TFLite path (float and quantized)
+    add('--label-allow-list', default=None, metavar='L1,L2',
+        help='keep only detections whose label is in this comma-separated '
+             'list (generic TFLite detector option)')
+    add('--label-deny-list', default=None, metavar='L1,L2',
+        help='drop detections whose label is in this comma-separated list '
+             '(generic TFLite detector option)')
+    add('--detector-max-results', default=-1, type=int, metavar='N',
+        help='keep at most N top-scored detections after allow/deny '
+             'filtering (-1 = unlimited; generic TFLite detector option)')
     add('--framebuffer', default=False, action='store_true')
     add('--framebuffer-device', '-F', default='/dev/fb0', metavar='DEVICE')
     add('--framebuffer-width', default=None, metavar='WIDTH', type=int)

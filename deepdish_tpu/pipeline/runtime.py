@@ -153,13 +153,19 @@ class Pipeline:
         self._init_native_loader()
 
         # device programs
+        def _csv(v):
+            return [s.strip() for s in v.split(',') if s.strip()] \
+                if v else None
         self.detector = create_detector(
             args.model, wanted_labels=self.wanted_labels,
             label_file=args.labels, score_threshold=args.score_threshold,
             max_outputs=max(args.max_detections, 32),
             allow_random_weights=getattr(args, 'allow_random_weights',
                                          False),
-            quantized=getattr(args, 'quantized_inference', False))
+            quantized=getattr(args, 'quantized_inference', False),
+            label_allow=_csv(getattr(args, 'label_allow_list', None)),
+            label_deny=_csv(getattr(args, 'label_deny_list', None)),
+            max_results=getattr(args, 'detector_max_results', -1))
         enc_name = args.encoder_model or 'mars-64x32x3.pb'
         self.encoder = create_box_encoder(enc_name)
         # Live mode (camera: frames may drop, latency is user-visible) must
