@@ -43,6 +43,22 @@ def yuv420_to_rgb(yuv, h: int, w: int):
     return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def yuv420_to_rgb_u8(yuv, h: int, w: int):
+    """(H*3/2, W) uint8 I420 -> (H, W, 3) uint8 RGB, rounded to nearest.
+
+    This is what the HOST RGB transport delivers (cv2's converters emit
+    uint8 frames), so feeding the fused programs uint8 makes the YUV and
+    RGB transports processing-identical downstream. It also quarters the
+    converted-frames intermediate inside big fused chunk programs
+    (float32 RGB at chunk=32/720p is ~440 MB) — composing the float
+    conversion with the integer-datapath detector at chunk 32 crashed the
+    TPU worker (round-4 bisect, docs/BENCH_NOTES.md); the uint8 form is
+    both the fix and the more faithful transport."""
+    rgb = yuv420_to_rgb(yuv, h, w)
+    return jnp.floor(rgb + 0.5).astype(jnp.uint8)
+
+
 def yuv420_to_rgb_pallas(yuv, h: int, w: int, tile_h: int = 16):
     """Alias of the XLA path.
 

@@ -92,7 +92,7 @@ class TemporalChunkEngine:
 
         def sharded_chunk_yuv(params, table, yuv_frames):
             frames = jax.vmap(
-                lambda f: colorspace.yuv420_to_rgb_pallas(
+                lambda f: colorspace.yuv420_to_rgb_u8(
                     f, self.fs.frame_h, self.fs.frame_w))(yuv_frames)
             return sharded_chunk(params, table, frames)
 

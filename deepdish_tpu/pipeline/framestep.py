@@ -338,11 +338,21 @@ class FrameStep:
 
     def _run_chunk_yuv(self, params, state: PipelineState, yuv_frames):
         """Chunk entry taking planar I420 frames (F, H*3/2, W) uint8 — half
-        the host->device bytes; conversion to RGB happens on device
-        (ops/colorspace, Pallas kernel on TPU)."""
+        the host->device bytes; conversion to uint8 RGB happens on device
+        (ops/colorspace.yuv420_to_rgb_u8), so the YUV transport feeds the
+        exact frame dtype the host RGB transport does and the downstream
+        program is identical for both."""
         frames = jax.vmap(
-            lambda f: colorspace.yuv420_to_rgb_pallas(
+            lambda f: colorspace.yuv420_to_rgb_u8(
                 f, self.frame_h, self.frame_w))(yuv_frames)
+        # Materialize the converted frames before the detector: fusing the
+        # chroma-upsample conversion into the integer datapath's first-conv
+        # quantize/im2col crashed the TPU worker at chunk 32 (round-4
+        # bisect: float+yuv32, int8+rgb32 and int8+yuv8 all pass, only
+        # int8+yuv32 faulted — a codegen-level fusion fault, not memory).
+        # The barrier costs nothing measurable: XLA materializes the
+        # (F, H, W, 3) uint8 frames either way.
+        frames = jax.lax.optimization_barrier(frames)
         return self._run_chunk(params, state, frames)
 
     # ---- host API ----
