@@ -444,6 +444,33 @@ def test_full_yolov5_int8_per_op_exact(yolov5_int8_tflite, rng):
     assert n_arith > 100 and n_exact > 20
 
 
+@pytest.mark.timeout(900)
+def test_full_yolov5_resizenn_int8_byte_exact(tmp_path, rng):
+    """WHOLE-GRAPH byte-exactness for a second family (VERDICT r3 next
+    #6): the same int8 yolov5 architecture built with
+    RESIZE_NEAREST_NEIGHBOR upsampling (numerically identical to the TILE
+    form for exact 2x nearest, but executable by this TF build's
+    reference-kernel resolver) — every op-output tensor must equal the
+    BUILTIN_REF interpreter's, like the SSD artifact above."""
+    tf = _tf()
+    from test_yolov5_real_tflite import SIZE, _make_yolov5_tflite
+    path = _make_yolov5_tflite(tmp_path, full_int8=True, upsample="resize")
+    ex = QGraphExecutor(path, conv_impl="portable")
+    x = rng.randint(-128, 128, (1, SIZE, SIZE, 3)).astype(np.int8)
+    ip = _run_interpreter_all(tf, path, x)          # BUILTIN_REF
+    env = ex.apply(ex.consts, jnp.asarray(x), return_env=True)
+    checked = 0
+    for qop in ex.ops:
+        ti = qop.outputs[0]
+        np.testing.assert_array_equal(
+            np.asarray(env[ti]), ip.get_tensor(ti),
+            err_msg=f"tensor {ex.meta[ti].name} (op {qop.code})")
+        checked += 1
+    assert checked > 150            # the full CSP/PANet graph was covered
+    from deepdish_tpu.models.qgraph import RESIZE_NN
+    assert any(q.code == RESIZE_NN for q in ex.ops)
+
+
 def test_quantized_yolov5_registry_dispatch(yolov5_int8_tflite):
     from test_yolov5_real_tflite import SIZE
     from deepdish_tpu.models import create_detector

@@ -20,7 +20,13 @@ SIZE = 320
 NC = 80
 
 
-def _make_yolov5_tflite(tmp_path, full_int8=False):
+def _make_yolov5_tflite(tmp_path, full_int8=False, upsample="repeat"):
+    """upsample="repeat" converts to TILE ops (like real yolov5 exports);
+    "resize" emits RESIZE_NEAREST_NEIGHBOR instead — numerically identical
+    for exact 2x nearest upsampling, but executable by the BUILTIN_REF
+    reference-kernel resolver (whose int8 TILE registration this TF build
+    lacks), enabling a WHOLE-GRAPH byte-exactness oracle
+    (test_qgraph.test_full_yolov5_resizenn_int8_byte_exact)."""
     tf = _tf()
     rng = np.random.RandomState(11)
     params = []
@@ -67,6 +73,10 @@ def _make_yolov5_tflite(tmp_path, full_int8=False):
 
     def up2(x):
         tf = _tf()
+        if upsample == "resize":
+            s = x.shape
+            return tf.compat.v1.image.resize_nearest_neighbor(
+                x, (s[1] * 2, s[2] * 2))
         x = tf.repeat(x, 2, axis=1)
         return tf.repeat(x, 2, axis=2)
 
@@ -153,8 +163,9 @@ def _make_yolov5_tflite(tmp_path, full_int8=False):
         conv.inference_input_type = tf.int8
         conv.inference_output_type = tf.int8
     blob = conv.convert()
-    path = str(tmp_path / ("yolov5s_int8.tflite" if full_int8
-                           else "yolov5s_full.tflite"))
+    tag = "_rnn" if upsample == "resize" else ""
+    path = str(tmp_path / (f"yolov5s{tag}_int8.tflite" if full_int8
+                           else f"yolov5s{tag}_full.tflite"))
     with open(path, "wb") as f:
         f.write(blob)
     return path
