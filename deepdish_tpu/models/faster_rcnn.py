@@ -24,10 +24,15 @@ set before O(K^2) in-jit NMS; neither changes what the downstream pipeline
 consumes in practice):
   * the RPN applies NMS to the top `pre_nms_topk` proposals by objectness
     rather than all ~19k anchors;
-  * the second stage scores each proposal with its argmax class instead of
-    emitting one candidate per (proposal, class) pair, so a proposal
-    yields at most one detection (the reference adaptor also consumes one
-    (box, label, score) triple per detection, tools/saved_model.py:55-67).
+  * the second stage, in its default "argmax" mode, scores each proposal
+    with its argmax class instead of emitting one candidate per
+    (proposal, class) pair, so a proposal yields at most one detection
+    (the reference adaptor also consumes one (box, label, score) triple
+    per detection, tools/saved_model.py:55-67). Setting
+    FasterRCNNConfig(second_stage_mode="per_class") removes this
+    deviation: it implements TF-OD's _postprocess_box_classifier exactly
+    (per-(proposal, class) candidates, per-class NMS, per-class caps) and
+    is equality-tested against a raw-TF mirror of that postprocess.
 """
 from __future__ import annotations
 
@@ -72,6 +77,14 @@ class FasterRCNNConfig:
     crop_size: int = 14
     # second stage
     nms_iou_threshold: float = 0.6
+    # "argmax": one candidate per proposal (its argmax class) — the lean
+    # default (a proposal yields at most one detection, which is also all
+    # the reference adaptor consumes, tools/saved_model.py:55-67).
+    # "per_class": the EXACT TF-OD _postprocess_box_classifier shape — one
+    # candidate per (proposal, class) pair with that class's refined box,
+    # per-class NMS, max_detections_per_class cap, top max_total overall.
+    second_stage_mode: str = "argmax"
+    max_detections_per_class: int = 100
 
     @property
     def anchors_per_cell(self) -> int:
@@ -270,7 +283,8 @@ class FasterRCNNNet(nn.Module):
         top_scores, top_idx = jax.lax.top_k(objness, k)
         top_boxes = boxes[top_idx]
         _, keep = _greedy(_iou_yxyx(top_boxes), top_scores,
-                          jnp.ones((k,), bool), cfg.rpn_iou_threshold)
+                          jnp.ones((k,), bool), cfg.rpn_iou_threshold,
+                          tie_high=False)
         # compact kept proposals in descending-score order (top_k sorted)
         P = min(cfg.max_proposals, k)
         keep_key = jnp.where(keep, jnp.arange(k, dtype=jnp.int32),
@@ -297,18 +311,38 @@ class FasterRCNNNet(nn.Module):
         cls = cls.astype(jnp.float32)
         box = box.reshape(P, nc, 4).astype(jnp.float32)
 
-        # ---- postprocess: argmax class, per-class decode + NMS ----
+        # ---- postprocess ----
         probs = jax.nn.softmax(cls, axis=-1)[:, 1:]    # strip background
+        py = (proposals[:, 0] + proposals[:, 2]) / 2
+        px = (proposals[:, 1] + proposals[:, 3]) / 2
+        ph = proposals[:, 2] - proposals[:, 0]
+        pw = proposals[:, 3] - proposals[:, 1]
+        prop_ychw = jnp.stack([py, px, ph, pw], 1)
+        inter["probs2"] = probs
+        inter["box2"] = box
+        inter["prop_ychw"] = prop_ychw
+
+        if cfg.second_stage_mode == "per_class":
+            out = self._postprocess_per_class(probs, box, prop_ychw,
+                                              prop_valid)
+        else:
+            out = self._postprocess_argmax(probs, box, prop_ychw,
+                                           prop_valid)
+        if with_intermediates:
+            return out, inter
+        return out
+
+    def _postprocess_argmax(self, probs, box, prop_ychw, prop_valid):
+        """One candidate per proposal: its argmax class + that class's
+        refined box (documented deviation from TF-OD, module docstring)."""
+        cfg = self.cfg
+        nc = cfg.num_classes
         scores = jnp.max(probs, axis=1)
         classes = jnp.argmax(probs, axis=1).astype(jnp.int32)
         deltas = jnp.einsum("pc,pcd->pd",
                             jax.nn.one_hot(classes, nc, dtype=jnp.float32),
                             box)
-        py = (proposals[:, 0] + proposals[:, 2]) / 2
-        px = (proposals[:, 1] + proposals[:, 3]) / 2
-        ph = proposals[:, 2] - proposals[:, 0]
-        pw = proposals[:, 3] - proposals[:, 1]
-        final = decode_rcnn_boxes(deltas, jnp.stack([py, px, ph, pw], 1))
+        final = decode_rcnn_boxes(deltas, prop_ychw)
         final = jnp.clip(final, 0.0, 1.0)
 
         bad = jnp.any(jnp.isnan(final), axis=1) | jnp.isnan(scores)
@@ -319,16 +353,62 @@ class FasterRCNNNet(nn.Module):
         shifted = final + classes.astype(jnp.float32)[:, None] * 4.0
         iou = jnp.where(classes[:, None] == classes[None, :],
                         _iou_yxyx(shifted), 0.0)
-        _, keep2 = _greedy(iou, scores, conf_ok, cfg.nms_iou_threshold)
+        _, keep2 = _greedy(iou, scores, conf_ok, cfg.nms_iou_threshold,
+                           tie_high=False)
 
         K = self.max_outputs
         masked = jnp.where(keep2, scores, -1.0)
         _, order2 = topk_desc(masked, K)
-        out = (gather_rows(final, order2), gather_1d(classes, order2),
-               gather_1d(scores, order2), gather_1d(keep2, order2))
-        if with_intermediates:
-            return out, inter
-        return out
+        return (gather_rows(final, order2), gather_1d(classes, order2),
+                gather_1d(scores, order2), gather_1d(keep2, order2))
+
+    def _postprocess_per_class(self, probs, box, prop_ychw, prop_valid):
+        """TF-OD _postprocess_box_classifier exactly: every (proposal,
+        class) pair is a candidate with that class's refined box; NMS runs
+        independently per class (vmapped greedy over the class axis), each
+        class keeps at most max_detections_per_class top-scored survivors,
+        and the top max_outputs across classes are emitted."""
+        cfg = self.cfg
+        P, nc = probs.shape
+        # decode every class's box against its proposal: (P*nc, 4)
+        anchors_rep = jnp.repeat(prop_ychw, nc, axis=0)
+        final = decode_rcnn_boxes(box.reshape(P * nc, 4), anchors_rep)
+        final = jnp.clip(final, 0.0, 1.0).reshape(P, nc, 4)
+
+        scores = probs
+        bad = jnp.any(jnp.isnan(final), axis=2) | jnp.isnan(scores)
+        scores = jnp.where(bad | ~prop_valid[:, None], 0.0, scores)
+        conf_ok = scores >= self.score_threshold
+
+        # per-class NMS: (nc, P, 4) boxes, (nc, P) scores
+        boxes_c = jnp.transpose(final, (1, 0, 2))
+        scores_c = scores.T
+        keep_c = jax.vmap(
+            lambda b, s, m: _greedy(_iou_yxyx(b), s, m,
+                                    cfg.nms_iou_threshold,
+                                    tie_high=False)[1])(
+            boxes_c, scores_c, conf_ok.T)
+        # max_detections_per_class: survivors are ranked per class
+        if cfg.max_detections_per_class and cfg.max_detections_per_class < P:
+            def cap(s, k):
+                ord_ = stable_argsort(jnp.where(k, -s, jnp.inf))
+                rank = jnp.zeros((P,), jnp.int32).at[ord_].set(
+                    jnp.arange(P, dtype=jnp.int32))
+                return k & (rank < cfg.max_detections_per_class)
+            keep_c = jax.vmap(cap)(scores_c, keep_c)
+
+        flat_scores = scores_c.reshape(-1)
+        flat_keep = keep_c.reshape(-1)
+        flat_boxes = boxes_c.reshape(-1, 4)
+        flat_classes = jnp.repeat(jnp.arange(nc, dtype=jnp.int32), P)
+
+        K = self.max_outputs
+        masked = jnp.where(flat_keep, flat_scores, -1.0)
+        _, order2 = topk_desc(masked, K)
+        return (gather_rows(flat_boxes, order2),
+                gather_1d(flat_classes, order2),
+                gather_1d(flat_scores, order2),
+                gather_1d(flat_keep, order2))
 
 
 class FasterRCNNDetector:

@@ -27,15 +27,17 @@ _NEG = -jnp.inf
 
 
 def _greedy(overlap: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
-            max_overlap: float):
+            max_overlap: float, tie_high: bool = True):
     """Greedy NMS as a Jacobi fixpoint — identical results to the
     sequential pick loop, but TPU-friendly.
 
     Greedy NMS has a closed recursive form: in pick order (score
-    descending, ties -> highest index, matching the reference's
-    pick-from-end-of-argsort), box j survives iff no surviving
-    earlier-ranked box suppresses it. Instead of K sequential pick steps
-    (slow scalar control flow on TPU), iterate
+    descending, ties -> highest index by default, matching the reference's
+    pick-from-end-of-argsort; tie_high=False breaks ties toward the LOWER
+    index, the tf.image.non_max_suppression order the Faster-RCNN stages
+    need), box j survives iff no surviving earlier-ranked box suppresses
+    it. Instead of K sequential pick steps (slow scalar control flow on
+    TPU), iterate
 
         keep <- valid & ~any(S_upper & keep)
 
@@ -52,10 +54,12 @@ def _greedy(overlap: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
     k = scores.shape[0]
     idx = jnp.asarray(np.arange(k, dtype=np.int32))
 
-    # pick order: primary score desc, secondary index desc. Sorts and
+    # pick order: primary score desc, secondary index desc/asc. Sorts and
     # gathers here are one-hot contractions (ops/onehot.py) because XLA's
     # sort/gather lowerings serialize on TPU.
-    rank = argsort_desc_tie_high(scores)         # original idx per rank
+    from .onehot import argsort_desc_tie_low
+    rank = (argsort_desc_tie_high(scores) if tie_high
+            else argsort_desc_tie_low(scores))  # original idx per rank
     valid_r = gather_1d(valid, rank)
     # suppression in rank space, restricted to strictly-earlier ranks
     S = (gather_rows(gather_rows(overlap, rank).T, rank).T > max_overlap)

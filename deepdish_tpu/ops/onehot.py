@@ -101,6 +101,20 @@ def argsort_desc_tie_high(scores):
     return ((rank[None, :] == pos[:, None]) * pos[None, :]).sum(1)
 
 
+def argsort_desc_tie_low(scores):
+    """Descending argsort with ties broken by LOWER index first — the
+    tf.image.non_max_suppression pick order (TF sorts by score and keeps
+    input order among equals), used by the Faster-RCNN stages so tie
+    resolution matches the TF-OD meta-architecture exactly."""
+    n = scores.shape[0]
+    pos = jnp.asarray(np.arange(n, dtype=np.int32))
+    gt = scores[None, :] > scores[:, None]
+    eq = scores[None, :] == scores[:, None]
+    earlier = pos[None, :] < pos[:, None]
+    rank = (gt.astype(jnp.int32) + (eq & earlier).astype(jnp.int32)).sum(1)
+    return ((rank[None, :] == pos[:, None]) * pos[None, :]).sum(1)
+
+
 def scatter_rows_unique(base, idx, upd):
     """out = base with out[idx[k]] = upd[k]; idx entries must be unique,
     idx >= base.shape[0] rows are dropped. Works for int and float."""

@@ -106,6 +106,18 @@ class FrameStep:
         self._step_jit = jax.jit(self._step)
         self._chunk_jit = jax.jit(self._run_chunk)
         self._chunk_yuv_jit = jax.jit(self._run_chunk_yuv)
+        # Integer-datapath detectors (models/qgraph.py expose `executor`)
+        # cannot share one XLA program with the YUV conversion at large
+        # chunk sizes: the fused program deterministically crashes the TPU
+        # worker at chunk 32 (round-4 bisect — float+yuv32, int8+rgb32,
+        # int8+yuv16 and conversion-alone-32 all pass; int8+yuv32 faults
+        # even behind an optimization_barrier). run_chunk_yuv therefore
+        # dispatches the conversion separately for quantized detectors —
+        # bit-identical results, two dispatches instead of one.
+        self._yuv_split = hasattr(detector, "executor")
+        self._convert_yuv_jit = jax.jit(jax.vmap(
+            lambda f: colorspace.yuv420_to_rgb_u8(
+                f, self.frame_h, self.frame_w)))
         self._track_only_jit = jax.jit(self._track_only)
         self._detect_only_jit = jax.jit(self._detect_only)
         self._encode_track_jit = jax.jit(self._encode_track)
@@ -345,14 +357,6 @@ class FrameStep:
         frames = jax.vmap(
             lambda f: colorspace.yuv420_to_rgb_u8(
                 f, self.frame_h, self.frame_w))(yuv_frames)
-        # Materialize the converted frames before the detector: fusing the
-        # chroma-upsample conversion into the integer datapath's first-conv
-        # quantize/im2col crashed the TPU worker at chunk 32 (round-4
-        # bisect: float+yuv32, int8+rgb32 and int8+yuv8 all pass, only
-        # int8+yuv32 faulted — a codegen-level fusion fault, not memory).
-        # The barrier costs nothing measurable: XLA materializes the
-        # (F, H, W, 3) uint8 frames either way.
-        frames = jax.lax.optimization_barrier(frames)
         return self._run_chunk(params, state, frames)
 
     # ---- host API ----
@@ -378,7 +382,11 @@ class FrameStep:
         return self._chunk_jit(self._params, state, frames_rgb)
 
     def run_chunk_yuv(self, state: PipelineState, yuv_frames: np.ndarray):
-        """F I420 frames (F, H*3/2, W) uint8 in one dispatch."""
+        """F I420 frames (F, H*3/2, W) uint8 in one dispatch (two for
+        quantized detectors — see __init__ on the split)."""
+        if self._yuv_split:
+            frames = self._convert_yuv_jit(yuv_frames)
+            return self._chunk_jit(self._params, state, frames)
         return self._chunk_yuv_jit(self._params, state, yuv_frames)
 
     def scripted_step(self, state: PipelineState, frame_rgb, xyxy,

@@ -251,7 +251,7 @@ def _np_decode(enc, anchors_ychw):
 
 
 def _tf_mirror_detect(tf, tensors, cfg, image, score_threshold,
-                      max_outputs):
+                      max_outputs, mode="argmax"):
     """The TF-OD meta-architecture written with TF ops on the graph-named
     tensors — the oracle for what the zoo SavedModel computes internally."""
     depth = 3 * sum(cfg.block_units) + 2
@@ -331,13 +331,35 @@ def _tf_mirror_detect(tf, tensors, cfg, image, score_threshold,
         tensors["SecondStageBoxPredictor/BoxEncodingPredictor/biases"]
     probs = np.exp(cls) / np.exp(cls).sum(1, keepdims=True)
     probs = probs[:, 1:]
-    scores = probs.max(1)
-    classes = probs.argmax(1)
-    deltas = box.reshape(P, cfg.num_classes, 4)[np.arange(P), classes]
     pych = np.stack([(proposals[:, 0] + proposals[:, 2]) / 2,
                      (proposals[:, 1] + proposals[:, 3]) / 2,
                      proposals[:, 2] - proposals[:, 0],
                      proposals[:, 3] - proposals[:, 1]], 1)
+    deltas_pc = box.reshape(P, cfg.num_classes, 4)
+
+    if mode == "per_class":
+        # TF-OD _postprocess_box_classifier: one candidate per (proposal,
+        # class) with that class's refined box; per-class NMS with the
+        # per-class cap; top max_outputs across classes.
+        out = []
+        for c in range(cfg.num_classes):
+            final_c = np.clip(_np_decode(deltas_pc[:, c], pych), 0.0, 1.0)
+            sc = probs[:, c]
+            sel = np.flatnonzero(sc >= score_threshold)
+            if not len(sel):
+                continue
+            kept = tf.image.non_max_suppression(
+                final_c[sel], sc[sel],
+                max_output_size=min(cfg.max_detections_per_class, len(sel)),
+                iou_threshold=cfg.nms_iou_threshold).numpy()
+            for i in sel[kept]:
+                out.append((sc[i], c, final_c[i]))
+        out.sort(key=lambda t: -t[0])
+        return out[:max_outputs]
+
+    scores = probs.max(1)
+    classes = probs.argmax(1)
+    deltas = deltas_pc[np.arange(P), classes]
     final = np.clip(_np_decode(deltas, pych), 0.0, 1.0)
 
     out = []
@@ -376,3 +398,159 @@ def test_full_tf_mirror_e2e(donor_and_tensors):
         np.testing.assert_allclose(gs, rs, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(gb, rb, rtol=1e-4, atol=1e-4)
     assert len(got) > 0, "mirror scene produced no detections to compare"
+
+
+def test_per_class_postprocess_matches_raw_tf(donor_and_tensors):
+    """second_stage_mode="per_class" == TF-OD's _postprocess_box_classifier
+    written with raw TF ops (one candidate per (proposal, class),
+    per-class tf.image.non_max_suppression with the per-class cap, top
+    max_outputs overall) on the SAME second-stage tensors (VERDICT r3
+    next #5). Feeding identical tensors to both sides makes the rampant
+    exact score ties of this saturated random net land identically on
+    both sides, so the tie-order convention is exercised for real —
+    whereas a full independent TF trunk reorders ULP-level near-ties and
+    tests only noise. (Trunk + RPN + argmax postprocess e2e equality is
+    test_full_tf_mirror_e2e.)"""
+    tf = _tf()
+    net, donor, tensors = donor_and_tensors
+    image = np.random.RandomState(11).uniform(0, 255, (64, 64, 3)) \
+        .astype(np.float32)
+
+    _, inter = net.apply(donor, image, with_intermediates=True)
+    probs = np.asarray(inter["probs2"])
+    box = np.asarray(inter["box2"])
+    pych = np.asarray(inter["prop_ychw"])
+    pv = np.asarray(inter["prop_valid"])
+    P, nc = probs.shape
+    assert pv.all()          # this scene fills every proposal slot
+
+    import dataclasses
+    cfg_pc = dataclasses.replace(TINY, second_stage_mode="per_class",
+                                 max_detections_per_class=4)
+    net_pc = FasterRCNNNet(cfg=cfg_pc, max_outputs=8, score_threshold=0.02,
+                           compute_dtype=jnp.float32)
+    b, c, s, v = (np.asarray(a) for a in net_pc._postprocess_per_class(
+        jnp.asarray(probs), jnp.asarray(box), jnp.asarray(pych),
+        jnp.asarray(pv)))
+    got = [(s[i], int(c[i]), b[i]) for i in range(len(v)) if v[i]]
+
+    # raw-TF mirror of _postprocess_box_classifier on the same tensors
+    ref = []
+    for cc in range(nc):
+        final_c = np.clip(_np_decode(box[:, cc], pych), 0.0, 1.0)
+        sc = probs[:, cc]
+        sel = np.flatnonzero(sc >= 0.02)
+        if not len(sel):
+            continue
+        kept = tf.image.non_max_suppression(
+            final_c[sel], sc[sel], max_output_size=4,
+            iou_threshold=cfg_pc.nms_iou_threshold).numpy()
+        for i in sel[kept]:
+            ref.append((sc[i], cc, final_c[i]))
+    ref.sort(key=lambda t: -t[0])
+    ref = ref[:8]
+
+    assert len(got) == len(ref), (got, ref)
+    for (rs, rc, rb), (gs, gc, gb) in zip(ref, got):
+        assert rc == gc
+        np.testing.assert_allclose(gs, rs, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(gb, rb, rtol=1e-5, atol=1e-5)
+    # non-vacuous: ties + the per-class cap + multiple classes all hit
+    assert len(ref) >= 4
+    # per-(proposal,class) shape: some proposal contributes >1 class or a
+    # non-argmax class survives — impossible in argmax mode
+    per_prop = {}
+    for score, cc, bb in ref:
+        per_prop.setdefault(tuple(np.round(bb, 6)), set()).add(cc)
+    assert len(ref) > len({cc for _, cc, _ in ref}) or \
+        any(len(v_) > 1 for v_ in per_prop.values()) or len(ref) > 4
+
+
+# ---------------------------------------------------------------------
+# Convention pins vs RAW TF (VERDICT r3 next #5): each convention the
+# shared-assumption mirror could hide is asserted against the upstream
+# formula written directly in TF ops. The anchor-order bug (b857924) is
+# the template: shared mirrors can't catch a convention both sides get
+# wrong; these raw oracles can.
+# ---------------------------------------------------------------------
+
+def test_box_coder_decode_matches_raw_tf(rng):
+    """faster_rcnn_box_coder._decode (upstream formula: t / scale,
+    exp(th)*ha, centers) written in raw TF ops == decode_rcnn_boxes."""
+    tf = _tf()
+    from deepdish_tpu.models.faster_rcnn import decode_rcnn_boxes
+    enc = rng.normal(0, 2, (64, 4)).astype(np.float32)
+    a_ychw = np.stack([rng.uniform(0, 64, 64), rng.uniform(0, 64, 64),
+                       rng.uniform(4, 32, 64), rng.uniform(4, 32, 64)],
+                      axis=1).astype(np.float32)
+
+    ty = tf.constant(enc[:, 0]) / BOX_SCALE[0]
+    tx = tf.constant(enc[:, 1]) / BOX_SCALE[1]
+    th = tf.constant(enc[:, 2]) / BOX_SCALE[2]
+    tw = tf.constant(enc[:, 3]) / BOX_SCALE[3]
+    ycenter = ty * a_ychw[:, 2] + a_ychw[:, 0]
+    xcenter = tx * a_ychw[:, 3] + a_ychw[:, 1]
+    h = tf.exp(th) * a_ychw[:, 2]
+    w = tf.exp(tw) * a_ychw[:, 3]
+    ref = tf.stack([ycenter - h / 2.0, xcenter - w / 2.0,
+                    ycenter + h / 2.0, xcenter + w / 2.0], axis=1).numpy()
+
+    got = np.asarray(decode_rcnn_boxes(jnp.asarray(enc),
+                                       jnp.asarray(a_ychw)))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-4)
+
+
+def test_nms_tie_order_matches_tf_image(rng):
+    """Greedy NMS selection INCLUDING score ties == tf.image.
+    non_max_suppression (upstream breaks ties by input index; kept sets
+    must be identical, not merely same-sized)."""
+    tf = _tf()
+    from deepdish_tpu.models.faster_rcnn import _iou_yxyx
+    from deepdish_tpu.ops.nms import _greedy
+    n = 48
+    base = rng.uniform(0, 60, (n, 2)).astype(np.float32)
+    wh = rng.uniform(5, 25, (n, 2)).astype(np.float32)
+    boxes = np.concatenate([base, base + wh], axis=1)
+    # quantized scores force many exact ties
+    scores = np.round(rng.uniform(0.1, 1.0, n).astype(np.float32), 1)
+
+    ref = tf.image.non_max_suppression(
+        boxes, scores, max_output_size=n, iou_threshold=0.5).numpy()
+    _, keep = _greedy(_iou_yxyx(jnp.asarray(boxes)), jnp.asarray(scores),
+                      jnp.ones((n,), bool), 0.5, tie_high=False)
+    got = np.flatnonzero(np.asarray(keep))
+    np.testing.assert_array_equal(np.sort(ref), got)
+    # and the score ordering our postprocess emits matches tf's (which
+    # returns indices in descending-score, index-ascending tie order)
+    got_sorted = got[np.argsort(-scores[got], kind="stable")]
+    np.testing.assert_array_equal(ref, got_sorted)
+
+
+def test_clip_window_matches_raw_tf(rng):
+    """box_list_ops.clip_to_window on the [0, 1] detection window (raw TF
+    formula: per-coordinate clip against the window edges) == the
+    jnp.clip the fused postprocess applies."""
+    tf = _tf()
+    boxes = rng.normal(0.3, 0.8, (64, 4)).astype(np.float32)
+    y1 = tf.minimum(tf.maximum(tf.constant(boxes[:, 0]), 0.0), 1.0)
+    x1 = tf.minimum(tf.maximum(tf.constant(boxes[:, 1]), 0.0), 1.0)
+    y2 = tf.minimum(tf.maximum(tf.constant(boxes[:, 2]), 0.0), 1.0)
+    x2 = tf.minimum(tf.maximum(tf.constant(boxes[:, 3]), 0.0), 1.0)
+    ref = tf.stack([y1, x1, y2, x2], axis=1).numpy()
+    got = np.asarray(jnp.clip(jnp.asarray(boxes), 0.0, 1.0))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_score_conversion_matches_raw_tf(rng):
+    """score_converter=SOFTMAX with the background column stripped AFTER
+    conversion (upstream applies softmax over all nc+1 columns, then
+    slices off class 0) — the order matters: softmax-then-slice != 
+    slice-then-softmax."""
+    tf = _tf()
+    logits = rng.normal(0, 3, (32, 4)).astype(np.float32)
+    ref = tf.nn.softmax(tf.constant(logits), axis=-1).numpy()[:, 1:]
+    got = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1)[:, 1:])
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+    # the wrong order would differ materially on these logits
+    wrong = np.asarray(jax.nn.softmax(jnp.asarray(logits[:, 1:]), axis=-1))
+    assert np.max(np.abs(wrong - ref)) > 1e-3
