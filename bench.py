@@ -214,6 +214,7 @@ def main():
     fam = (model or "ssd_mobilenet").lower()
     family = ("YOLOv5s" if "yolov5" in fam else
               "YOLOv3" if "yolo" in fam else
+              "Faster-RCNN" if ("faster_rcnn" in fam or "frcnn" in fam) else
               "EfficientDet-Lite0" if ("efficientdet" in fam or
                                        ("tflite" in fam and "ssd" not in fam
                                         and "mobilenet" not in fam
@@ -367,7 +368,11 @@ def main():
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / 1000.0, 3),
+        # CANONICAL headline: device_resident_fps on the transport named
+        # below. README/BENCH_NOTES quote this same figure; the RGB-path
+        # number (--rgb) is always labeled as such where mentioned.
         "device_resident_fps": round(resident_fps, 1),
+        "transport": "yuv" if use_yuv else "rgb",
         "transfer_ceiling_fps": round(transfer_ceiling_fps, 1),
         "compile_s": round(compile_s, 1),
         "cache_hit": compile_s < 30.0,
