@@ -103,7 +103,20 @@ def create_box_encoder(model_name: str, params=None) -> EncoderSpec:
             if name.endswith(".npz"):
                 from .weights import load_npz
                 params = load_npz(name)
-            elif name.endswith((".pb", ".tflite")):
+            elif name.endswith(".tflite"):
+                # full-integer encoder artifacts (the reference's actual
+                # quantized mars-little*.tflite format,
+                # generate_detections.py:151-177) run on the integer
+                # datapath — the interpreter's own arithmetic
+                # (models/qgraph.py) — rather than a dequantized float
+                # approximation; float artifacts convert structurally.
+                from .qgraph import make_quantized_mars_encoder
+                try:
+                    return make_quantized_mars_encoder(name)
+                except (NotImplementedError, ValueError):
+                    from .convert import load_mars
+                    params = load_mars(name)[0]
+            elif name.endswith(".pb"):
                 from .convert import load_mars
                 params = load_mars(name)[0]
     if "int8" in name or "quant" in name:

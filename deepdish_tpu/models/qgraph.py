@@ -56,13 +56,15 @@ ADD, AVG_POOL, CONCAT, CONV, DW_CONV = 0, 1, 2, 3, 4
 DEQUANTIZE, FC, LOGISTIC, MAX_POOL, MUL = 6, 9, 14, 17, 18
 RESHAPE, SOFTMAX, CUSTOM, PAD_OP, SUB, QUANTIZE = 22, 25, 32, 34, 41, 114
 STRIDED_SLICE, TILE, RESIZE_NN = 45, 69, 97
+L2_NORM, ELU = 11, 111
 
 _OP_NAMES = {0: "ADD", 1: "AVERAGE_POOL_2D", 2: "CONCATENATION",
              3: "CONV_2D", 4: "DEPTHWISE_CONV_2D", 6: "DEQUANTIZE",
-             9: "FULLY_CONNECTED", 14: "LOGISTIC", 17: "MAX_POOL_2D",
+             9: "FULLY_CONNECTED", 11: "L2_NORMALIZATION", 14: "LOGISTIC",
+             17: "MAX_POOL_2D",
              18: "MUL", 22: "RESHAPE", 25: "SOFTMAX", 34: "PAD",
              41: "SUB", 45: "STRIDED_SLICE", 69: "TILE",
-             97: "RESIZE_NEAREST_NEIGHBOR", 114: "QUANTIZE"}
+             97: "RESIZE_NEAREST_NEIGHBOR", 111: "ELU", 114: "QUANTIZE"}
 
 _NP_DT = {0: np.float32, 2: np.int32, 3: np.uint8, 4: np.int64,
           7: np.int16, 9: np.int8}
@@ -328,13 +330,17 @@ class QGraphExecutor:
             si, zi = self._q(qop.inputs[0]) \
                 if self.meta[qop.inputs[0]].scale is not None else (None, 0)
             so, zo = self._q(qop.outputs[0])
-            if si is None:
-                raise NotImplementedError("QUANTIZE from float inside an "
-                                          "integer graph")
-            qop.attrs.update(zi=zi, zo=zo,
-                             mo=intmath.quantize_multiplier(si / so),
+            qop.attrs.update(zo=zo,
                              qmin=int(np.iinfo(meta_out.dtype).min),
                              qmax=int(np.iinfo(meta_out.dtype).max))
+            if si is None:
+                # float -> int: AffineQuantize (reference_ops):
+                # TfLiteRound(v / scale) + zp, clamped. The converter emits
+                # this around ops it keeps in float (e.g. ELU).
+                qop.attrs.update(from_float=True, scale=so)
+            else:
+                qop.attrs.update(from_float=False, zi=zi,
+                                 mo=intmath.quantize_multiplier(si / so))
 
         elif code == DEQUANTIZE:
             si, zi = self._q(qop.inputs[0])
@@ -445,6 +451,40 @@ class QGraphExecutor:
         elif code == SOFTMAX:
             if self.meta[qop.inputs[0]].dtype != np.float32:
                 raise NotImplementedError("quantized SOFTMAX")
+
+        elif code == ELU:
+            dt = self.meta[qop.inputs[0]].dtype
+            if dt == np.float32:
+                # the int8 converter keeps ELU in float behind a
+                # DEQUANTIZE/QUANTIZE pair; reference kernel:
+                # val < 0 ? expm1(val) : val (elu.cc)
+                qop.attrs.update(is_float=True)
+            elif dt == np.int8:
+                # LUT path (elu.cc int8: LUTPopulate over the 256 codes)
+                si, zi = self._q(qop.inputs[0])
+                so, zo = self._q(qop.outputs[0])
+                q = np.arange(-128, 128, dtype=np.float64)
+                v = si * (q - zi)
+                y = np.where(v < 0.0, np.expm1(np.clip(v, -500.0, 0.0)), v)
+                lut = np.clip(_round_half_away(y / so) + zo, -128, 127)
+                self.consts[f"{key}/lut"] = lut.astype(np.int8)
+                qop.attrs.update(is_float=False, kkey=key, in_min=-128)
+            else:
+                raise NotImplementedError(f"ELU on {dt}")
+
+        elif code == L2_NORM:
+            dt = self.meta[qop.inputs[0]].dtype
+            if dt == np.float32:
+                qop.attrs.update(is_float=True)
+            elif dt == np.int8:
+                # reference_integer_ops::L2Normalization: int32 sum of
+                # squared zp-less codes per row, GetInvSqrtQuantized-
+                # MultiplierExp, MBQM with kOutputScale=7; output is the
+                # fixed 1/128 scale, zp 0 (Prepare() enforces it)
+                _, zi = self._q(qop.inputs[0])
+                qop.attrs.update(is_float=False, zi=zi)
+            else:
+                raise NotImplementedError(f"L2_NORMALIZATION on {dt}")
 
         else:
             raise NotImplementedError(
@@ -657,9 +697,13 @@ class QGraphExecutor:
             out = jnp.clip(out, lo, hi).astype(at["out_dtype"])
         elif qop.code == QUANTIZE:
             at = qop.attrs
-            v = get(i[0]).astype(jnp.int32) - at["zi"]
-            out = intmath.multiply_by_quantized_multiplier(
-                v, *at["mo"]) + at["zo"]
+            if at["from_float"]:
+                v = get(i[0]).astype(jnp.float32) / np.float32(at["scale"])
+                out = jnp.sign(v) * jnp.floor(jnp.abs(v) + 0.5) + at["zo"]
+            else:
+                v = get(i[0]).astype(jnp.int32) - at["zi"]
+                out = intmath.multiply_by_quantized_multiplier(
+                    v, *at["mo"]) + at["zo"]
             out = jnp.clip(out, at["qmin"],
                            at["qmax"]).astype(at["out_dtype"])
         elif qop.code == DEQUANTIZE:
@@ -692,6 +736,28 @@ class QGraphExecutor:
                           constant_values=qop.attrs["value"])
         elif qop.code == SOFTMAX:
             out = jax.nn.softmax(get(i[0]), axis=-1)
+        elif qop.code == ELU:
+            if qop.attrs["is_float"]:
+                v = get(i[0])
+                out = jnp.where(v < 0.0, jnp.expm1(v), v)
+            else:
+                lut = consts[f"{qop.attrs['kkey']}/lut"]
+                out = jnp.take(lut, get(i[0]).astype(jnp.int32)
+                               - qop.attrs["in_min"])
+        elif qop.code == L2_NORM:
+            v = get(i[0])
+            if qop.attrs["is_float"]:
+                norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=-1,
+                                        keepdims=True))
+                out = v / norm
+            else:
+                diff = v.astype(jnp.int32) - qop.attrs["zi"]
+                acc = jnp.sum(diff * diff, axis=-1, keepdims=True)
+                mult, shift = \
+                    intmath.get_inv_sqrt_quantized_multiplier_exp(acc)
+                out24 = intmath.multiply_by_quantized_multiplier(
+                    diff, mult, shift + 7)         # kOutputScale = 7
+                out = jnp.clip(out24, -128, 127).astype(jnp.int8)
         else:                                      # pragma: no cover
             raise NotImplementedError(qop.code)
         return out
@@ -945,3 +1011,53 @@ class QuantizedYOLOv5Detector:
         if not hasattr(self, "_djit"):
             self._djit = jax.jit(self.detect)
         return self._djit(self.params, image_resized, orig_w, orig_h)
+
+
+def make_quantized_mars_encoder(model_path: str, conv_impl: str = "auto"):
+    """Appearance encoder on the INTEGER datapath: runs a full-integer
+    MARS TFLite artifact (the reference's actual encoder format —
+    tools/generate_detections.py:151-177 wraps `mars-little*.tflite`
+    through the interpreter) with the interpreter's own arithmetic as one
+    jittable program, vmapped over the crop batch. Float-in/float-out
+    artifacts run the converter's exact op stream (QUANTIZE from float,
+    int8 convs/dense, float ELU islands, int8 L2_NORMALIZATION,
+    DEQUANTIZE); integer-in artifacts get the AffineQuantize input step.
+
+    Returns an EncoderSpec (drop-in for FrameStep). Features are the
+    artifact's own outputs re-normalized in f32 (the int8 L2 norm is
+    1/128-scale with +-1 LSB rounding; downstream cosine math expects
+    unit vectors like the float MARS path)."""
+    from .encoders import EncoderSpec
+    ex = QGraphExecutor(model_path, conv_impl=conv_impl)
+    in_meta = ex.meta[ex.input_idx]
+    h, w = int(in_meta.shape[1]), int(in_meta.shape[2])
+    out_dim = int(np.prod(ex.meta[ex.output_idxs[0]].shape[1:]))
+
+    in_dtype = in_meta.dtype
+    in_scale = float(in_meta.scale[0]) if in_meta.scale is not None else 1.0
+    in_zp = int(in_meta.zp[0]) if in_meta.zp is not None else 0
+
+    def one(consts, patch):
+        x = patch
+        if in_dtype == np.float32:
+            x = x.astype(jnp.float32)
+        else:
+            # AffineQuantize of the raw pixel values with the artifact's
+            # input scale/zp (TfLiteRound half away, zp added after)
+            xf = x.astype(jnp.float32) / np.float32(in_scale)
+            q = jnp.sign(xf) * jnp.floor(jnp.abs(xf) + 0.5) + in_zp
+            lo = int(np.iinfo(in_dtype).min)
+            x = jnp.clip(q, lo, lo + 255).astype(_JDT[np.dtype(in_dtype)])
+        outs = ex.dequantize_outputs(ex.apply(consts, x[None]))
+        return outs[0].reshape(out_dim)
+
+    def apply_fn(consts, patches):
+        feats = jax.vmap(lambda p: one(consts, p))(patches)
+        feats = feats.astype(jnp.float32)
+        norm = jnp.sqrt(1e-8 + jnp.sum(jnp.square(feats), axis=1,
+                                       keepdims=True))
+        return feats / norm
+
+    spec = EncoderSpec((h, w, 3), out_dim, apply_fn)
+    spec.params = ex.consts
+    return spec

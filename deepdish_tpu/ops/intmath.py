@@ -162,6 +162,80 @@ def multiply_by_quantized_multiplier_single(x, quantized_multiplier, shift):
                      jnp.where(t == 32, hi2s, hi2s >> tb))
 
 
+def _clz32(x):
+    """Count leading zeros of positive int32 values (exact, bit-smear +
+    population count — no float log2)."""
+    v = x.astype(jnp.uint32)
+    v = v | (v >> 1)
+    v = v | (v >> 2)
+    v = v | (v >> 4)
+    v = v | (v >> 8)
+    v = v | (v >> 16)
+    import jax.lax as lax
+    return (jnp.uint32(32) - lax.population_count(v)).astype(jnp.int32)
+
+
+def _srmbpot(x, exponent: int):
+    """gemmlowp SaturatingRoundingMultiplyByPOT with a STATIC exponent:
+    positive = saturating left shift, negative = RoundingDivideByPOT."""
+    if exponent == 0:
+        return x
+    if exponent < 0:
+        return rounding_divide_by_pot(x, -exponent)
+    threshold = jnp.int32((1 << (31 - exponent)) - 1)
+    shifted = (x.astype(jnp.int32) << exponent)
+    shifted = jnp.where(x > threshold, jnp.int32(INT32_MAX), shifted)
+    return jnp.where(x < -threshold, jnp.int32(INT32_MIN), shifted)
+
+
+def get_inv_sqrt_quantized_multiplier_exp(input_):
+    """TFLite GetInvSqrtQuantizedMultiplierExp (quantization_util.cc) with
+    reverse_shift = -1 (the only value the kernels use), vectorized over an
+    int32 array of non-negative sums-of-squares. Returns (multiplier int32,
+    shift int32) such that MultiplyByQuantizedMultiplier(v, multiplier,
+    shift + k) reproduces the kernel's 1/sqrt rescale bit-exactly.
+
+    Replica notes: the `input /= 4` normalization loop runs at most twice
+    for int32 inputs (2^31 / 16 < 2^29), so it is unrolled; CountLeadingZeros
+    is exact integer bit-smear + popcount; the Newton-Raphson iteration is
+    gemmlowp F3 fixed-point (SRDHM products, saturating POT rescales)."""
+    x = input_.astype(jnp.int32)
+    shift = jnp.full(x.shape, 11, jnp.int32)
+    for _ in range(2):                     # while (input >= 1 << 29)
+        big = x >= (1 << 29)
+        x = jnp.where(big, x >> 2, x)      # positive: /4 == >>2
+        shift = shift + big.astype(jnp.int32)
+    # guard the input<=1 branch through the pipeline with a safe value
+    trivial = input_.astype(jnp.int32) <= 1
+    x = jnp.where(trivial, jnp.int32(1 << 28), x)
+    max_left_shift_bits = _clz32(x) - 1
+    left_shift_bit_pairs = (max_left_shift_bits // 2) - 1
+    shift = shift - left_shift_bit_pairs
+    x = x << (2 * left_shift_bit_pairs)
+
+    # F3 Newton-Raphson for 1/sqrt (gemmlowp fixed-point, 5 iterations)
+    half_input = rounding_divide_by_pot(x >> 1, 1)     # SRMBPOT<-1>(F3 raw)
+    half_three = jnp.int32((1 << 28) + (1 << 27))
+    nr = jnp.full(x.shape, 1 << 28, jnp.int32)         # F3::One()
+    for _ in range(5):
+        x2 = saturating_rounding_doubling_high_mul(nr, nr)          # F6
+        x3 = saturating_rounding_doubling_high_mul(x2, nr)          # F9
+        x3 = _srmbpot(x3, 6)                                        # ->F3
+        t1 = saturating_rounding_doubling_high_mul(half_three, nr)  # F6
+        t2 = saturating_rounding_doubling_high_mul(half_input, x3)  # F6
+        nr = _srmbpot(t1 - t2, 3)                                   # ->F3
+    half_sqrt_2 = jnp.int32(1518500250)                # F0 sqrt(2)/2
+    nr = saturating_rounding_doubling_high_mul(nr, half_sqrt_2)     # F3
+
+    neg = shift < 0
+    mult = jnp.where(neg, nr << jnp.maximum(-shift, 0), nr)
+    shift = jnp.where(neg, jnp.int32(0), shift)
+    shift = -shift                                     # reverse_shift = -1
+    mult = jnp.where(trivial, jnp.int32(INT32_MAX), mult)
+    shift = jnp.where(trivial, jnp.int32(0), shift)
+    return mult, shift
+
+
 # ---------------------------------------------------------------------------
 # numpy int64 oracles (tests + host-side precomputation)
 # ---------------------------------------------------------------------------

@@ -274,14 +274,17 @@ def step_drive(path, labels, quantized):
 
 
 def encoder_battery(path):
-    from deepdish_tpu.models.convert import load_mars
-    from deepdish_tpu.models.encoders import make_mars_encoder
     import jax.numpy as jnp
-    params, report = load_mars(path)
-    record("convert", "PASS", f"MARS weights loaded ({report})")
-    enc = make_mars_encoder(params=params, compute_dtype=jnp.float32)
+    from deepdish_tpu.models.encoders import create_box_encoder
+    # full-integer artifacts dispatch to the integer datapath
+    # (models/qgraph.py), float ones convert structurally
+    enc = create_box_encoder(path)
+    kind = ("integer datapath" if isinstance(enc.params, dict)
+            else "structural float conversion")
+    record("convert", "PASS", f"MARS encoder loaded ({kind}, "
+           f"{enc.image_shape[0]}x{enc.image_shape[1]} crops)")
     patches = np.random.RandomState(0).randint(
-        0, 256, (8, 128, 64, 3)).astype(np.float32)
+        0, 256, (8,) + tuple(enc.image_shape)).astype(np.float32)
     ours = np.asarray(enc.apply(jnp.asarray(patches)))
     tf = _tf()
     if tf is None or not path.endswith(".tflite"):
