@@ -28,7 +28,13 @@ BLOCKS = [  # (expand, channels, repeats, stride, kernel)
     (6, 320, 1, 1, 3)]
 
 
-def _make_efficientdet_tflite(tmp_path, full_int8=False):
+def _make_efficientdet_tflite(tmp_path, full_int8=False,
+                              upsample="repeat"):
+    """upsample="resize" emits RESIZE_NEAREST_NEIGHBOR instead of TILE
+    (numerically identical for exact 2x nearest + crop), making the
+    artifact executable by the BUILTIN_REF reference-kernel resolver —
+    the whole-graph byte-exactness oracle
+    (test_qgraph.test_full_efficientdet_resizenn_int8_byte_exact)."""
     tf = _tf()
     rng = np.random.RandomState(23)
 
@@ -118,8 +124,12 @@ def _make_efficientdet_tflite(tmp_path, full_int8=False):
                 return tf.nn.max_pool2d(x, 3, 2, "SAME")
 
             def up_to(x, like):
-                y = tf.repeat(x, 2, axis=1)
-                y = tf.repeat(y, 2, axis=2)
+                if upsample == "resize":
+                    y = tf.compat.v1.image.resize_nearest_neighbor(
+                        x, (x.shape[1] * 2, x.shape[2] * 2))
+                else:
+                    y = tf.repeat(x, 2, axis=1)
+                    y = tf.repeat(y, 2, axis=2)
                 return y[:, :like.shape[1], :like.shape[2], :]
 
             x = img  # normalization lives on the host (metadata-driven)
@@ -189,8 +199,10 @@ def _make_efficientdet_tflite(tmp_path, full_int8=False):
         conv.inference_input_type = tf.uint8
         conv.inference_output_type = tf.float32
     blob = conv.convert()
-    path = str(tmp_path / ("efficientdet_lite0_int8.tflite" if full_int8
-                           else "efficientdet_lite0_full.tflite"))
+    tag = "_rnn" if upsample == "resize" else ""
+    path = str(tmp_path / (f"efficientdet_lite0{tag}_int8.tflite"
+                           if full_int8
+                           else f"efficientdet_lite0{tag}_full.tflite"))
     with open(path, "wb") as f:
         f.write(blob)
     return path

@@ -381,6 +381,30 @@ def test_full_efficientdet_int8_per_op_exact(effdet_int8_tflite, rng):
     assert n_arith > 150 and n_exact > 50   # the whole graph was covered
 
 
+@pytest.mark.timeout(1200)
+def test_full_efficientdet_resizenn_int8_byte_exact(tmp_path, rng):
+    """WHOLE-GRAPH byte-exactness for a THIRD family: the int8
+    EfficientDet built with RESIZE_NEAREST_NEIGHBOR upsampling (identical
+    math to the TILE form, but reference-resolver-executable) — every
+    op-output tensor equals the BUILTIN_REF interpreter's."""
+    tf = _tf()
+    from test_efficientdet_real_tflite import _make_efficientdet_tflite
+    path = _make_efficientdet_tflite(tmp_path, full_int8=True,
+                                     upsample="resize")
+    ex = QGraphExecutor(path, conv_impl="portable")
+    x = rng.randint(0, 256, (1, 320, 320, 3)).astype(np.uint8)
+    ip = _run_interpreter_all(tf, path, x)          # BUILTIN_REF
+    env = ex.apply(ex.consts, jnp.asarray(x), return_env=True)
+    checked = 0
+    for qop in ex.ops:
+        ti = qop.outputs[0]
+        np.testing.assert_array_equal(
+            np.asarray(env[ti]), ip.get_tensor(ti),
+            err_msg=f"tensor {ex.meta[ti].name} (op {qop.code})")
+        checked += 1
+    assert checked > 200
+
+
 def test_quantized_efficientdet_registry_dispatch(effdet_int8_tflite):
     from deepdish_tpu.models import create_detector
     from deepdish_tpu.models.qgraph import QuantizedSSDDetector
