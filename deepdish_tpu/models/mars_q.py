@@ -22,11 +22,15 @@ crossing-count parity video with the int8 encoder (docs/BENCH_NOTES.md
 records the TPU wall-clock A/B).
 
 Two exact int8 contraction implementations (same accumulator):
-  * "dot":  zero-pad + im2col + `lax.dot_general` int8 — the layout the
-    MXU consumes directly (mirrors models/qgraph.py's mxu conv);
   * "conv": `lax.conv_general_dilated` with int8 operands and an int32
-    accumulator — lets XLA pick the convolution lowering.
-`impl="auto"` resolves to "dot" on TPU backends, "conv" elsewhere.
+    accumulator — XLA's own int8 convolution lowering. MEASURED FASTEST
+    on the v5e: batch-1024 MARS forward 8.26 ms int8/conv vs 14.42 ms
+    bf16 vs 27.74 ms int8/dot (docs/BENCH_NOTES.md round 4) — the 2x MXU
+    int8 rate is real through XLA's conv path;
+  * "dot": zero-pad + im2col + `lax.dot_general` int8 — kept as the
+    cross-check oracle (identical accumulators, tested); materializing
+    the 9x im2col patches costs more than the MXU rate win buys.
+`impl="auto"` resolves to "conv" everywhere.
 """
 from __future__ import annotations
 
@@ -125,7 +129,7 @@ def mars_forward(params, images, *, compute_dtype=jnp.bfloat16,
     """
     dt = compute_dtype
     if impl == "auto":
-        impl = "dot" if jax.default_backend() not in ("cpu",) else "conv"
+        impl = "conv"
     conv_i8 = _conv_i8_dot if impl == "dot" else _conv_i8_xla
     P = params["params"]
 

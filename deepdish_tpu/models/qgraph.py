@@ -549,10 +549,17 @@ class QGraphExecutor:
         v = x.astype(jnp.int32)
         return v - 128 if qop.attrs["in_u8"] else v
 
-    def _use_mxu(self):
+    def _impl(self) -> str:
+        """Three exact conv implementations: "portable" (int32 im2col dot,
+        any backend), "mxu" (int8 im2col dot + static offset maps), and
+        "xconv" (direct lax.conv int8 -> int32 — XLA's own int8
+        convolution lowering, measured 1.75x faster than bf16 for the
+        MARS stack on v5e where the im2col form LOST to bf16;
+        docs/BENCH_NOTES.md round 4). "auto" resolves to mxu off-CPU."""
         if self.conv_impl == "auto":
-            return jax.default_backend() not in ("cpu",)
-        return self.conv_impl == "mxu"
+            return "mxu" if jax.default_backend() not in ("cpu",) \
+                else "portable"
+        return self.conv_impl
 
     def _patches(self, x, kh, kw, stride, dil, padding, pad_value=0):
         """im2col: x (1, H, W, C) -> (Ho, Wo, kh*kw*C), zero-padded."""
@@ -574,7 +581,37 @@ class QGraphExecutor:
         key = qop.attrs["kkey"]
         k = consts[f"{key}/kernel"]
         kh, kw, ci, co = k.shape
-        if self._use_mxu():
+        impl = self._impl()
+        if impl == "xconv":
+            # direct int8 convolution through XLA's conv lowering; the
+            # same exact decomposition as the mxu path (zero padding in
+            # the int8-normalized domain + static offset map + optional
+            # w_zp rowsum), with the rowsum as a ones-kernel conv
+            sh, sw = qop.attrs["stride"]
+            dh, dw = qop.attrs["dilation"]
+            h, w = x.shape[1], x.shape[2]
+            _, pt, pb = _padding_amounts(h, (kh - 1) * dh + 1, sh,
+                                         qop.attrs["padding"])
+            _, pl, pr = _padding_amounts(w, (kw - 1) * dw + 1, sw,
+                                         qop.attrs["padding"])
+            x8 = self._xs32(qop, x).astype(jnp.int8)
+            dn = jax.lax.conv_dimension_numbers(
+                x8.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+            acc = jax.lax.conv_general_dilated(
+                x8, k, (sh, sw), [(pt, pb), (pl, pr)],
+                rhs_dilation=(dh, dw), dimension_numbers=dn,
+                preferred_element_type=jnp.int32)[0]
+            if qop.attrs["w_zp"]:
+                ones = jnp.ones((kh, kw, ci, 1), jnp.int8)
+                rowsum = jax.lax.conv_general_dilated(
+                    x8, ones, (sh, sw), [(pt, pb), (pl, pr)],
+                    rhs_dilation=(dh, dw), dimension_numbers=dn,
+                    preferred_element_type=jnp.int32)[0]
+                acc = acc - qop.attrs["w_zp"] * rowsum
+            if qop.attrs["offkey"] is not None:
+                acc = acc - consts[f"{key}/off"]
+            return self._epilogue(qop, consts, acc)[None]
+        if impl == "mxu":
             x8 = self._xs32(qop, x).astype(jnp.int8)
             p, ho, wo = self._patches(x8, kh, kw, qop.attrs["stride"],
                                       qop.attrs["dilation"],
@@ -621,7 +658,7 @@ class QGraphExecutor:
         key = qop.attrs["kkey"]
         k = consts[f"{key}/kernel"]                    # (I, O)
         x2 = x.reshape(-1, k.shape[0])
-        if self._use_mxu():
+        if self._impl() in ("mxu", "xconv"):           # int8 MXU dot
             x8 = self._xs32(qop, x2).astype(jnp.int8)
             acc = jax.lax.dot_general(x8, k, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.int32)

@@ -190,12 +190,17 @@ def test_tiny_int8_within_1lsb_of_xnnpack(tiny_int8_tflite, rng):
 
 
 def test_tiny_int8_conv_paths_agree(tiny_int8_tflite, rng):
+    """All three exact conv implementations produce identical outputs:
+    portable (int32 im2col), mxu (int8 im2col + offset maps) and xconv
+    (XLA's direct int8 conv lowering — the fast path on v5e)."""
     ex_p = QGraphExecutor(tiny_int8_tflite, conv_impl="portable")
     ex_m = QGraphExecutor(tiny_int8_tflite, conv_impl="mxu")
+    ex_x = QGraphExecutor(tiny_int8_tflite, conv_impl="xconv")
     x = jnp.asarray(rng.randint(0, 256, (1, 16, 16, 3)).astype(np.uint8))
-    for a, b in zip(ex_p.apply(ex_p.consts, x),
-                    ex_m.apply(ex_m.consts, x)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ref = ex_p.apply(ex_p.consts, x)
+    for other in (ex_m, ex_x):
+        for a, b in zip(ref, other.apply(other.consts, x)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_tiny_int8_jitted_outputs_exact(tiny_int8_tflite, rng):
@@ -533,11 +538,14 @@ def test_legacy_uint8_graph_byte_exact(tmp_path, rng):
                                       ip.get_tensor(ti),
                                       err_msg=ex.meta[ti].name)
     # and the int8-MXU path (4-term zero-point expansion: shifted int8
-    # dot + rowsum correction + static maps) agrees exactly
-    ex_m = QGraphExecutor(path, conv_impl="mxu")
-    for a, b in zip(ex.apply(ex.consts, jnp.asarray(x)),
-                    ex_m.apply(ex_m.consts, jnp.asarray(x))):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # dot + rowsum correction + static maps) agrees exactly, as does the
+    # direct-conv xconv path whose w_zp rowsum is a ones-kernel conv
+    for impl in ("mxu", "xconv"):
+        ex_m = QGraphExecutor(path, conv_impl=impl)
+        for a, b in zip(ex.apply(ex.consts, jnp.asarray(x)),
+                        ex_m.apply(ex_m.consts, jnp.asarray(x))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=impl)
 
 
 def test_legacy_uint8_detector_end_to_end(tmp_path, rng):
