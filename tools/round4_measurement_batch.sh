@@ -9,6 +9,17 @@ mkdir -p /tmp/tpu_runs
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD:/root/.axon_site"
 
+# 0. contention-controlled quantized-vs-float A/B on the SAME artifact,
+#    back to back (absolute numbers are pool-load-dependent; the ratio
+#    under equal load is the result)
+ART=/tmp/qdrive/ssd_mobilenet_int8.tflite
+if [ -f "$ART" ]; then
+  timeout 3000 python bench.py --model "$ART" --quantized --frames 320 \
+    2>&1 | tail -3 | tee /tmp/tpu_runs/ab_quant.log
+  timeout 3000 python bench.py --model "$ART" --frames 320 \
+    2>&1 | tail -3 | tee /tmp/tpu_runs/ab_float.log
+fi
+
 # 1. per-family throughput lines (random-init weights; the program, not
 #    the weights, sets the speed)
 for fam in yolov5 efficientdet faster_rcnn; do
@@ -44,11 +55,13 @@ vw.release()
 PYEOF
 for td in "" "--3d --focallength-mm 4.0 --elevation-m 10 --tilt-deg 45"; do
   tag=$([ -z "$td" ] && echo no3d || echo 3d)
-  /usr/bin/time -v timeout 2400 python -m deepdish_tpu.pipeline.main \
+  t0=$SECONDS
+  timeout 2400 python -m deepdish_tpu.pipeline.main \
     --input /tmp/dd3d.mp4 --model ssd_mobilenet --encoder-model mars \
     --wanted-labels person --disable-graphics --chunk-size 32 \
     --encode-capacity 8 --allow-random-weights $td \
     > /tmp/tpu_runs/e2e_$tag.log 2>&1
-  tail -2 /tmp/tpu_runs/e2e_$tag.log
+  echo "wall_s=$((SECONDS - t0))" >> /tmp/tpu_runs/e2e_$tag.log
+  tail -3 /tmp/tpu_runs/e2e_$tag.log
 done
 echo ROUND4 BATCH DONE
