@@ -23,12 +23,36 @@ import pytest
 
 
 def pytest_configure(config):
-    # pytest-timeout is not installed in this image; register the mark so
-    # annotated budgets are documented without unknown-mark warnings.
+    # pytest-timeout is not installed in this image; the SIGALRM hook below
+    # enforces the annotated budgets instead (main-thread-only, best effort:
+    # a test stuck inside a C extension is interrupted on its next return to
+    # Python, which still unblocks the suite for everything but a hard hang).
     config.addinivalue_line(
         "markers",
-        "timeout(seconds): intended wall-clock budget (no-op without the "
-        "pytest-timeout plugin)")
+        "timeout(seconds): wall-clock budget, enforced via SIGALRM")
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    import signal
+    import threading
+
+    mark = item.get_closest_marker("timeout")
+    seconds = int(mark.args[0]) if mark and mark.args else 0
+    active = (seconds > 0
+              and threading.current_thread() is threading.main_thread())
+    if active:
+        def on_alarm(signum, frame):
+            raise TimeoutError(
+                f"test exceeded its timeout({seconds}) budget")
+        prev = signal.signal(signal.SIGALRM, on_alarm)
+        signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        if active:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, prev)
 
 
 @pytest.fixture
