@@ -99,9 +99,10 @@ class FrameStep:
         D = tracker_cfg.max_detections
         self._enc_cap = min(step_cfg.encode_capacity or D, D)
 
-        self._params = {"det": detector.params}
+        self._params_host = {"det": detector.params}
         if getattr(encoder, "params", None) is not None:
-            self._params["enc"] = encoder.params
+            self._params_host["enc"] = encoder.params
+        self._params_dev = None
 
         self._step_jit = jax.jit(self._step)
         self._chunk_jit = jax.jit(self._run_chunk)
@@ -122,6 +123,23 @@ class FrameStep:
         self._detect_only_jit = jax.jit(self._detect_only)
         self._encode_track_jit = jax.jit(self._encode_track)
         self._scripted_jit = jax.jit(self._scripted_step)
+
+    @property
+    def _params(self):
+        """Weights as DEVICE arrays, put once on first use.
+
+        Converted artifacts (models/convert.py) arrive as host numpy trees;
+        passing those to jit ships every leaf host->device on EVERY
+        dispatch — measured 83x slower than the identical program with
+        device-resident weights on the axon tunnel (28.9 vs 0.35 ms/frame,
+        window-controlled interleaved A/B, docs/BENCH_NOTES.md round 4).
+        Random-init weights never hit this (flax init already returns
+        device arrays), which is why the bug only showed on real-weight
+        serving. Lazy (not in __init__) so constructing a FrameStep stays
+        free of backend initialization."""
+        if self._params_dev is None:
+            self._params_dev = jax.device_put(self._params_host)
+        return self._params_dev
 
     # ---- device program pieces ----
 
