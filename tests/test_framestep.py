@@ -86,3 +86,32 @@ def test_yolov3_letterbox_in_framestep(rng):
     # letterbox geometry for 128x96 into 416: width-limited
     left, top, nw, nh = det._lb
     assert nw == 416 and nh == 312 and top == 52 and left == 0
+
+
+def test_params_device_put_once(fs, rng):
+    """Converted artifacts hold host numpy weight trees; FrameStep must put
+    them on device ONCE (lazy), not re-ship per dispatch — the per-dispatch
+    re-transfer measured 83x slower over the axon tunnel (commit 99290fb,
+    docs/BENCH_NOTES.md round 4)."""
+    import jax
+    det = create_detector("ssd_mobilenet", max_outputs=16,
+                          score_threshold=0.3)
+    # simulate a converted artifact: host numpy tree, as models/convert.py
+    # artifacts arrive through weights.load_npz
+    det.params = jax.tree.map(np.asarray, det.params)
+    enc = create_box_encoder("dummy")
+    cfg = tt.TrackerConfig(max_tracks=16, max_detections=8,
+                           gallery_size=32, num_labels=4, max_age=10)
+    fs2 = FrameStep(det, enc, cfg, ["person", "car"], (96, 128),
+                    FrameStepConfig(score_threshold=0.3))
+    # construction alone must not touch the backend (lazy put)
+    assert fs2._params_dev is None
+    p1 = fs2._params
+    p2 = fs2._params
+    assert p1 is p2, "weight tree must be device_put exactly once"
+    assert all(isinstance(leaf, jax.Array)
+               for leaf in jax.tree.leaves(p1))
+    # and the program still runs on the device-resident tree
+    state = fs2.init_state()
+    state, out, _, _ = fs2.step(state, _frames(1, rng)[0])
+    assert np.isfinite(np.asarray(out.tlwh)).all()
