@@ -94,3 +94,34 @@ def test_pallas_kernel_under_shardmap(rng):
                       np.asarray(out.matched_det))
     for a, b in zip(outs["xla"], outs["pallas_interpret"]):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.timeout(600)
+def test_quantized_detector_under_shard_map(rng, tmp_path):
+    """The integer datapath (qgraph executor) composes with the
+    multi-stream shard_map engine — the quantized SERVING config (16
+    streams of a full-int8 artifact on one chip) — and each stream's
+    tracker matches the single-stream run exactly. Covers the reference's
+    quantized serving deployment (tools/ssd_mobilenet.py:100-103, EdgeTPU
+    execution model) under data parallelism."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_pipeline_real_tflite import _make_full_ssd_tflite
+    path = _make_full_ssd_tflite(tmp_path, full_int8=True)
+    det = create_detector(str(path), max_outputs=8, quantized=True,
+                          score_threshold=0.3)
+    enc = create_box_encoder("dummy")
+    cfg = tt.TrackerConfig(max_tracks=8, max_detections=4, gallery_size=8,
+                           pending_size=4, num_labels=2, max_age=5)
+    fs = FrameStep(det, enc, cfg, ["person"], (72, 96))
+    eng = MultiStreamEngine(fs, n_streams=8, mesh=make_mesh(8))
+    frames = rng.randint(0, 255, size=(8, 72, 96, 3)).astype(np.uint8)
+    states = eng.init_states()
+    states, outs, snaps = eng.step(states, frames)
+    jax.block_until_ready(states)
+    assert np.asarray(outs.track_id).shape == (8, 8)
+    # exact parity with the unsharded single-stream step
+    t = fs.init_state()
+    t, out, _, _ = fs.step(t, frames[3])
+    np.testing.assert_array_equal(np.asarray(outs.track_id)[3],
+                                  np.asarray(out.track_id))
