@@ -125,6 +125,26 @@ def ab_weights(artifact):
           flush=True)
 
 
+def mars_cap32():
+    """Fused step at enc_cap 32 — the configuration where MARS is ~60% of
+    the step (docs/BENCH_NOTES.md r3) and the int8 standalone win (x1.3-1.5)
+    should surface if it survives fusion."""
+    print("== fused step cap32: mars vs mars-int8 (interleaved) ==",
+          flush=True)
+    cfg = tt.TrackerConfig(max_tracks=64, max_detections=32,
+                           gallery_size=64, num_labels=4)
+    det = create_detector("ssd_mobilenet", max_outputs=32)
+    legs = []
+    for name in ("mars", "mars-int8"):
+        enc = create_box_encoder(name)
+        legs.append((name, FrameStep(det, enc, cfg, ["person", "car"],
+                                     (H, W),
+                                     FrameStepConfig(encode_capacity=32))))
+    meds = _fused_legs(legs)
+    print(f"  RATIO cap32 int8/bf16: "
+          f"{meds['mars-int8']/meds['mars']:.2f}", flush=True)
+
+
 def mars_bisect():
     from deepdish_tpu.models import mars_q
     from deepdish_tpu.models.mars import INPUT_SHAPE, MarsNet
@@ -192,6 +212,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--weights")
     ap.add_argument("--mars-bisect", action="store_true")
+    ap.add_argument("--mars-cap32", action="store_true")
     a = ap.parse_args()
     print("device:", jax.devices()[0], flush=True)
     print(f"pool probe: {_probe_ms():.1f} ms (8-chain 1024^3 bf16)",
@@ -200,3 +221,5 @@ if __name__ == "__main__":
         ab_weights(a.weights)
     if a.mars_bisect:
         mars_bisect()
+    if a.mars_cap32:
+        mars_cap32()
