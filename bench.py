@@ -20,6 +20,11 @@ Options:
                 detector family random-init
   --synthetic   skip the mp4/loader and feed in-memory frames (old mode)
   --rgb         RGB transport instead of I420
+  --encoder X   appearance encoder (default mars; mars_int8 = the int8 MXU
+                serving encoder, models/mars_q.py)
+  --latency     serving-latency mode: single-frame dispatch + forced fetch
+                per step, p50/p90/p99 ms (device-resident and e2e);
+                --steps N samples (default 200)
 
 The JSON line also reports `transfer_ceiling_fps` (measured raw
 device_put+consume throughput of one chunk THIS run — on the shared axon
@@ -93,7 +98,7 @@ def make_video(path, n_frames, h, w):
 
 
 def bench_multistream(n_streams: int, chunk: int = 8, enc_cap: int = 8,
-                      model=None, quantized=False):
+                      model=None, quantized=False, encoder="mars"):
     """BASELINE.json config 5: N concurrent 720p streams on one chip, one
     SPMD dispatch per step (vmapped fused program; the Pallas JV kernel
     batches over streams via its custom_vmap grid rule). Each dispatch
@@ -112,7 +117,7 @@ def bench_multistream(n_streams: int, chunk: int = 8, enc_cap: int = 8,
     H, W = 720, 1280
     det = create_detector(model or "ssd_mobilenet", max_outputs=32,
                           quantized=quantized)
-    enc = create_box_encoder("mars")
+    enc = create_box_encoder(encoder)
     cfg = tt.TrackerConfig(max_tracks=64, max_detections=32,
                            gallery_size=64, num_labels=4)
     fs = FrameStep(det, enc, cfg, ["person", "car"], (H, W),
@@ -178,6 +183,111 @@ def bench_multistream(n_streams: int, chunk: int = 8, enc_cap: int = 8,
           f"device={jax.devices()[0].device_kind}", file=sys.stderr)
 
 
+def bench_latency(steps: int = 200, enc_cap: int = 8, model=None,
+                  quantized=False, encoder="mars"):
+    """Serving-latency mode (--latency): ONE 720p frame per dispatch — the
+    live-camera CLI path (pipeline/runtime.py live mode) — with a forced
+    host fetch of the track ids every step, so each sample is the full
+    frame-in -> counts-out turnaround a real-time caller observes. Reports
+    p50/p90/p99 in ms, both device-resident (frame already on device;
+    isolates program latency) and e2e (per-step device_put of a fresh
+    host frame; on this shared pool the tunnel dominates). The reference
+    serves live cameras at 30 FPS/stream (BASELINE.md), i.e. a 33 ms
+    budget; p99 <= 33 ms device-resident is the serving bar."""
+    import jax
+    from deepdish_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from deepdish_tpu import tracker as tt
+    from deepdish_tpu.models import create_box_encoder, create_detector
+    from deepdish_tpu.pipeline import FrameStep, FrameStepConfig
+
+    H, W = 720, 1280
+    det = create_detector(model or "ssd_mobilenet", max_outputs=32,
+                          quantized=quantized)
+    enc = create_box_encoder(encoder)
+    cfg = tt.TrackerConfig(max_tracks=64, max_detections=32,
+                           gallery_size=64, num_labels=4)
+    fs = FrameStep(det, enc, cfg, ["person", "car"], (H, W),
+                   FrameStepConfig(encode_capacity=enc_cap))
+
+    rng = np.random.RandomState(0)
+    base = rng.randint(0, 80, size=(H, W, 3)).astype(np.uint8)
+
+    def host_frame(i):
+        f = base.copy()
+        x = (40 + i * 9) % (W - 200)
+        f[200:500, x:x + 160] = 230
+        return f
+
+    state = fs.init_state()
+    t0 = time.time()
+    state, out, snap, raw = fs.step(state, jax.device_put(host_frame(0)))
+    _ = np.asarray(out.track_id)
+    compile_s = time.time() - t0
+
+    def pcts(ms):
+        return {k: round(float(np.percentile(ms, p)), 3)
+                for k, p in (("p50", 50), ("p90", 90), ("p99", 99))}
+
+    # device-resident: a small ring of pre-staged frames (distinct content,
+    # so the program never sees a constant), per-step forced fetch
+    ring = [jax.device_put(host_frame(i)) for i in range(8)]
+    jax.block_until_ready(ring[-1])
+    res_ms = []
+    for i in range(steps):
+        t0 = time.time()
+        state, out, snap, raw = fs.step(state, ring[i % 8])
+        _ = np.asarray(out.track_id)
+        res_ms.append((time.time() - t0) * 1e3)
+    res = pcts(res_ms)
+
+    # e2e: fresh host frame shipped every step (tunnel-bound on this pool)
+    e2e_ms = []
+    for i in range(steps):
+        t0 = time.time()
+        state, out, snap, raw = fs.step(state, jax.device_put(host_frame(i)))
+        _ = np.asarray(out.track_id)
+        e2e_ms.append((time.time() - t0) * 1e3)
+    e2e = pcts(e2e_ms)
+
+    # dispatch-RTT floor: a trivial program + forced fetch, same cadence.
+    # On the shared-pool relay this is tens of ms and dominates the
+    # single-frame numbers above (chunked dispatch amortizes it 32x);
+    # on a local-PJRT production host it is microseconds, so
+    # resident_ms - rtt_floor_ms is the portable program latency.
+    tiny = jax.jit(lambda x: x + 1)
+    small = jax.device_put(np.zeros((8,), np.int32))
+    _ = np.asarray(tiny(small))
+    rtt_ms = []
+    for _ in range(min(steps, 50)):
+        t0 = time.time()
+        _ = np.asarray(tiny(small))
+        rtt_ms.append((time.time() - t0) * 1e3)
+    rtt_p50 = round(float(np.percentile(rtt_ms, 50)), 3)
+
+    probe_ms = _pool_probe_ms()
+    family = "SSD-MobileNet" + ("-int8" if quantized else "")
+    print(json.dumps({
+        "metric": f"720p serving latency p50 single-frame dispatch "
+                  f"({family}+MARS+DeepSORT fused, enc_cap={enc_cap}, "
+                  "device-resident, 1 chip)",
+        "value": res["p50"],
+        "unit": "ms",
+        "vs_baseline": round((1000.0 / res["p50"]) / 1000.0, 3),
+        "resident_ms": res,
+        "e2e_ms": e2e,
+        "rtt_floor_ms_p50": rtt_p50,
+        "steps": steps,
+        "compile_s": round(compile_s, 1),
+        "cache_hit": compile_s < 30.0,
+        "pool_probe_ms": round(probe_ms, 1),
+    }))
+    print(f"# compile={compile_s:.1f}s resident p50/p90/p99="
+          f"{res['p50']}/{res['p90']}/{res['p99']} ms  e2e="
+          f"{e2e['p50']}/{e2e['p90']}/{e2e['p99']} ms  "
+          f"device={jax.devices()[0].device_kind}", file=sys.stderr)
+
+
 def _device_init_watchdog(timeout_s: float = 600.0):
     """The shared-pool tunnel can wedge for hours (jax.devices() never
     returns — observed 02:10-07:00 on 2026-08-18). Normal device
@@ -226,13 +336,22 @@ def main():
                                  chunk=_arg("--stream-chunk", 8),
                                  enc_cap=_arg("--enc-cap", 8),
                                  model=_arg("--model", None, str),
-                                 quantized="--quantized" in sys.argv)
+                                 quantized="--quantized" in sys.argv,
+                                 encoder=_arg("--encoder", "mars", str))
+
+    if "--latency" in sys.argv:
+        return bench_latency(steps=_arg("--steps", 200),
+                             enc_cap=_arg("--enc-cap", 8),
+                             model=_arg("--model", None, str),
+                             quantized="--quantized" in sys.argv,
+                             encoder=_arg("--encoder", "mars", str))
 
     chunk = _arg("--chunk", 32)
     total_frames = _arg("--frames", 640)
     enc_cap = _arg("--enc-cap", 8)
     depth = max(1, _arg("--depth", 2))
     model = _arg("--model", None, str)
+    encoder = _arg("--encoder", "mars", str)
     use_yuv = "--rgb" not in sys.argv
     synthetic = "--synthetic" in sys.argv
 
@@ -254,7 +373,7 @@ def main():
                                         and "mobilenet" not in fam
                                         and "edgetpu" not in fam)) else
               "SSD-MobileNet")
-    enc = create_box_encoder("mars")
+    enc = create_box_encoder(encoder)
     cfg = tt.TrackerConfig(max_tracks=64, max_detections=32,
                            gallery_size=64, num_labels=4)
     fs = FrameStep(det, enc, cfg, ["person", "car"], (H, W),
@@ -398,8 +517,9 @@ def main():
         src += f", weights={os.path.basename(model)}"
     if quantized:
         family += "-int8"
+    enc_label = "MARS" if encoder == "mars" else encoder
     print(json.dumps({
-        "metric": f"720p offline FPS decode->count ({family}+MARS+"
+        "metric": f"720p offline FPS decode->count ({family}+{enc_label}+"
                   f"DeepSORT fused, chunk={chunk}"
                   f"{', yuv' if use_yuv else ''}, enc_cap={enc_cap}, "
                   f"depth={depth}, src={src}, 1 chip)",
