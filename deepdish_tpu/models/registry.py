@@ -153,7 +153,7 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
                     score_threshold: float = 0.5, params=None,
                     max_outputs: int = 32,
                     allow_random_weights: bool = False,
-                    quantized: bool = False,
+                    quantized: bool = False, detector_int8: bool = False,
                     label_allow=None, label_deny=None,
                     max_results: int = -1, **kw):
     """Substring dispatch like deepdish.py:482-502. When `model_name` is an
@@ -371,8 +371,21 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
             # (the op's fast NMS is class-agnostic; the pipeline's own
             # class-agnostic NMS, deepdish.py:995, covers that stage)
             det_kw.update(_pp_det_kw(pp, score_threshold))
-        det = SSDMobileNetDetector(params=params, max_outputs=max_outputs,
-                                   **det_kw)
+        if detector_int8 or (not (model_name
+                                  and os.path.isfile(model_name))
+                             and "int8" in name):
+            # --detector-int8 / `--model ssd_mobilenet_int8`: the fast
+            # w8a8 throughput mode (models/ssd_q.py) — post-training
+            # quantizes whatever float tree was produced (incl. converted
+            # real detect.tflite weights) onto the MXU's 2x int8 path.
+            # Distinct from --quantized-inference (byte-exact qgraph).
+            from .ssd_q import SSDMobileNetInt8Detector
+            det = SSDMobileNetInt8Detector(params=params,
+                                           max_outputs=max_outputs,
+                                           **det_kw)
+        else:
+            det = SSDMobileNetDetector(params=params,
+                                       max_outputs=max_outputs, **det_kw)
         # +1 labelmap offset applied by the reference adaptor
         # (ssd_mobilenet.py:143-145); our COCO_LABELS is already offset-free.
         det.labels = {i: n for i, n in enumerate(load_labels(label_file))}

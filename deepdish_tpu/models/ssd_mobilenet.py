@@ -235,11 +235,16 @@ class SSDMobileNetDetector:
         # invalidated (shape stays max_outputs for the pipeline programs)
         self.detections_cap = detections_cap
 
+    def _apply_net(self, params, image_resized):
+        """Backbone+heads hook; the int8 throughput mode (models/ssd_q.py)
+        overrides this and reuses the decode/NMS below unchanged."""
+        return self.net.apply(params, image_resized)
+
     def detect(self, params, image_resized, orig_w, orig_h):
         """image_resized: (300, 300, 3) float/uint8. Returns fixed-capacity
         (boxes_xyxy (K, 4) in original-image pixels, classes (K,) int32
         0-based, scores (K,), valid (K,) bool), K = max_outputs."""
-        box_enc, logits = self.net.apply(params, image_resized)
+        box_enc, logits = self._apply_net(params, image_resized)
         boxes = decode_boxes(box_enc, self.anchors, self.box_scale)
         probs = jax.nn.sigmoid(logits)[:, 1:]  # strip background
         return postprocess_detections(

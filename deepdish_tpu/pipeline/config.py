@@ -90,6 +90,13 @@ def build_parser() -> argparse.ArgumentParser:
              '(int8 MXU convolutions, TFLite-interpreter-exact head '
              'tensors) instead of dequantizing its weights to float; '
              'SSD/EdgeTPU, EfficientDet and YOLOv5 artifacts')
+    add('--detector-int8', default=False, action='store_true',
+        help='run the SSD-MobileNet detector convolutions on the MXU int8 '
+             'path (fast w8a8 post-training mode, models/ssd_q.py) — the '
+             'detector analog of --encoder-model mars_int8; unlike '
+             '--quantized-inference this quantizes float weights for '
+             'throughput rather than replaying an integer artifact '
+             'byte-exactly (SSD family only; ignored elsewhere)')
     add('--disable-edgetpu', default=False, action='store_true',
         help='(TPU build: selects the CPU jax backend)')
     add('--encoder-model', metavar='FILE', default=None)

@@ -163,6 +163,7 @@ class Pipeline:
             allow_random_weights=getattr(args, 'allow_random_weights',
                                          False),
             quantized=getattr(args, 'quantized_inference', False),
+            detector_int8=getattr(args, 'detector_int8', False),
             label_allow=_csv(getattr(args, 'label_allow_list', None)),
             label_deny=_csv(getattr(args, 'label_deny_list', None)),
             max_results=getattr(args, 'detector_max_results', -1))

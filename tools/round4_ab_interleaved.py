@@ -145,6 +145,40 @@ def mars_cap32():
           f"{meds['mars-int8']/meds['mars']:.2f}", flush=True)
 
 
+def det_int8():
+    """Fused step: float vs fast-int8 SSD detector (models/ssd_q.py), and
+    the all-int8 combination (int8 detector + int8 MARS), at the headline
+    enc_cap 8 and at enc_cap 32. The detector's pointwise/extras/head
+    convs move to the MXU int8 path; dw stays bf16 (probe: x0.85 at 32
+    lanes). A fourth leg A/Bs quantize_dw."""
+    print("== fused step: detector float vs fast-int8 (interleaved) ==",
+          flush=True)
+    from deepdish_tpu.models.ssd_q import SSDMobileNetInt8Detector
+    cfg = tt.TrackerConfig(max_tracks=64, max_detections=32,
+                           gallery_size=64, num_labels=4)
+    for cap in (8, 32):
+        legs = []
+        for name, det_name, enc_name, qdw in (
+                ("float", "ssd_mobilenet", "mars", False),
+                ("det-i8", "ssd_mobilenet_int8", "mars", False),
+                ("det-i8dw", None, "mars", True),
+                ("all-i8", "ssd_mobilenet_int8", "mars-int8", False)):
+            if det_name is None:
+                det = SSDMobileNetInt8Detector(max_outputs=32,
+                                               quantize_dw=True)
+            else:
+                det = create_detector(det_name, max_outputs=32)
+            enc = create_box_encoder(enc_name)
+            legs.append((f"{name}/c{cap}",
+                         FrameStep(det, enc, cfg, ["person", "car"],
+                                   (H, W),
+                                   FrameStepConfig(encode_capacity=cap))))
+        meds = _fused_legs(legs)
+        f = meds[f"float/c{cap}"]
+        for n in (f"det-i8/c{cap}", f"det-i8dw/c{cap}", f"all-i8/c{cap}"):
+            print(f"  RATIO {n}/float: {meds[n]/f:.3f}", flush=True)
+
+
 def mars_bisect():
     from deepdish_tpu.models import mars_q
     from deepdish_tpu.models.mars import INPUT_SHAPE, MarsNet
@@ -213,6 +247,7 @@ if __name__ == "__main__":
     ap.add_argument("--weights")
     ap.add_argument("--mars-bisect", action="store_true")
     ap.add_argument("--mars-cap32", action="store_true")
+    ap.add_argument("--det-int8", action="store_true")
     a = ap.parse_args()
     print("device:", jax.devices()[0], flush=True)
     print(f"pool probe: {_probe_ms():.1f} ms (8-chain 1024^3 bf16)",
@@ -223,3 +258,5 @@ if __name__ == "__main__":
         mars_bisect()
     if a.mars_cap32:
         mars_cap32()
+    if a.det_int8:
+        det_int8()
