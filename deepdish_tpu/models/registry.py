@@ -64,8 +64,11 @@ def _detection_labels(label_file: Optional[str]):
 
 #: name -> script registry for `create_detector("scripted:<name>")`; the
 #: test/demo seam analogous to the reference's dummy/constant encoder
-#: backends (tools/generate_detections.py:86-116,182-189).
-SCRIPTS = {}
+#: backends (tools/generate_detections.py:86-116,182-189). "noop" ships
+#: built-in so `deepdish-tpu --model scripted:noop` smoke-runs the whole
+#: pipeline from a fresh process with no weights and no in-process
+#: registration (packaging/CLI tests drive this path via subprocess).
+SCRIPTS = {"noop": lambda frame_rgb: ([], [], [])}
 
 
 def register_script(name, script):

@@ -204,6 +204,12 @@ def build_parser() -> argparse.ArgumentParser:
     add('--state-checkpoint', default=None, metavar='FILE',
         help='checkpoint/restore the FULL tracker+bgsub state (beyond the '
              'counters-only log restore of the reference)')
+    # consumed by expand_options_files BEFORE parsing (deepdish.py:1362-1377
+    # semantics); declared here only so --help documents it.
+    add('--options-file', default=None, metavar='FILE',
+        help='read additional options from FILE (shell-style quoting, '
+             '# comments, recursive includes with a cycle guard; expanded '
+             'before parsing, relative to DEEPDISHHOME)')
     return p
 
 

@@ -1,0 +1,80 @@
+"""Packaging tests: the `deepdish-tpu` console script works end-to-end.
+
+The reference ships `run.sh:1-13` / `build.sh` as its packaging story and
+is driven as `python3 deepdish.py ...`; our analog is the console-script
+entry point declared at `pyproject.toml:12-13`
+(`deepdish-tpu = deepdish_tpu.pipeline.main:main`). These tests drive the
+installed script (or, when the package is not pip-installed in the test
+environment, the exact module path the script resolves to) in a REAL
+subprocess — fresh interpreter, no in-process seams — on `--help` and on a
+tiny `--input` run with the built-in weightless `scripted:noop` detector.
+"""
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cli(*args):
+    """argv for the console script, falling back to `python -m` when the
+    package is not installed (same target: deepdish_tpu.pipeline.main:main,
+    pyproject.toml:12-13)."""
+    exe = shutil.which("deepdish-tpu")
+    if exe:
+        return [exe, *args]
+    return [sys.executable, "-m", "deepdish_tpu.pipeline.main", *args]
+
+
+def _env():
+    env = dict(os.environ)
+    # subprocess must run on the CPU backend regardless of harness env
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+@pytest.mark.timeout(120)
+def test_console_script_help():
+    out = subprocess.run(_cli("--help"), capture_output=True, text=True,
+                         timeout=90, env=_env())
+    assert out.returncode == 0, out.stderr
+    # a few load-bearing reference flags must be advertised
+    for flag in ("--input", "--model", "--encoder-model", "--line",
+                 "--options-file", "--mqtt-broker", "--max-cosine-distance"):
+        assert flag in out.stdout, f"{flag} missing from --help"
+
+
+@pytest.mark.timeout(600)
+def test_console_script_tiny_input_run(tmp_path):
+    """One real subprocess run: tiny mp4 in -> JSON-lines log out."""
+    cv2 = pytest.importorskip("cv2")
+    video = tmp_path / "tiny.mp4"
+    vw = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"),
+                         10, (96, 64))
+    for _ in range(6):
+        vw.write(np.zeros((64, 96, 3), np.uint8))
+    vw.release()
+
+    log = tmp_path / "events.log"
+    out = subprocess.run(
+        _cli("--input", str(video), "--model", "scripted:noop",
+             "--encoder-model", "dummy.pb", "--disable-graphics",
+             "--disable-background-subtraction", "--chunk-size", "2",
+             "--device", "cpu", "--log", str(log)),
+        capture_output=True, text=True, timeout=540, env=_env())
+    assert out.returncode == 0, out.stderr[-4000:]
+    # per-frame taxonomy text lines reached stdout (deepdish.py:1224-1238
+    # analog) and the run processed all 6 frames
+    assert "e2e" in out.stdout
+    # the JSON-lines log (checkpoint file, deepdish.py:1141-1185 analog)
+    # got at least the immediate first heartbeat with full counter state
+    lines = [json.loads(l) for l in log.read_text().splitlines() if l]
+    assert lines, "log file empty"
+    assert any("frame_count" in l for l in lines)
+    assert any(k.startswith("poscount_") for l in lines for k in l)

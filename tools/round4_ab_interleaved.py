@@ -166,6 +166,12 @@ def det_int8():
             if det_name is None:
                 det = SSDMobileNetInt8Detector(max_outputs=32,
                                                quantize_dw=True)
+                # mirror the registry's post-construction label assignment
+                # (models/registry.py:394-396) — FrameStep reads
+                # max(detector.labels)+1 at __init__
+                from deepdish_tpu.models.registry import load_labels
+                det.labels = dict(enumerate(load_labels(None)))
+                det.label_offset = 0
             else:
                 det = create_detector(det_name, max_outputs=32)
             enc = create_box_encoder(enc_name)
