@@ -114,7 +114,11 @@ class FrameStep:
         # int8+yuv16 and conversion-alone-32 all pass; int8+yuv32 faults
         # even behind an optimization_barrier). run_chunk_yuv therefore
         # dispatches the conversion separately for quantized detectors —
-        # bit-identical results, two dispatches instead of one.
+        # bit-identical results, two dispatches instead of one
+        # (tests/test_yuv_split_regression.py pins the bit-identity).
+        # Re-try fusing on every jax/libtpu bump with
+        # `python tools/repro_int8_yuv_crash.py --fault` on TPU; if it
+        # passes there, this split can be retired.
         self._yuv_split = hasattr(detector, "executor")
         self._convert_yuv_jit = jax.jit(jax.vmap(
             lambda f: colorspace.yuv420_to_rgb_u8(
