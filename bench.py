@@ -381,10 +381,29 @@ def main():
 
     run = fs.run_chunk_yuv if use_yuv else fs.run_chunk
 
+    stripes = max(1, _arg("--stripes", 4))
+    seq_decode = "--seq-decode" in sys.argv
+
+    class _StripedAsChunks:
+        """next_chunk adapter so the striped single-file loader drops into
+        the (1-stream) bench loop."""
+
+        def __init__(self, sl):
+            self.sl = sl
+
+        def next_chunk(self, n):
+            got, frames = self.sl.next(n)
+            return frames[None], np.array([got], np.int32), got
+
+        def close(self):
+            self.sl.close()
+
     loader = None
+    decode_only_fps = decode_striped_fps = None
     if not synthetic:
         try:
-            from deepdish_tpu.utils.native import NativeFrameLoader
+            from deepdish_tpu.utils.native import (NativeFrameLoader,
+                                                   StripedFrameLoader)
             # enough frames that EOF doesn't drain the depth-queue before
             # total_frames are measured (file name carries the length so a
             # stale shorter video from an earlier config isn't reused)
@@ -393,7 +412,49 @@ def main():
                                  f".bench_video_{n_video}.mp4")
             if not os.path.exists(video):
                 make_video(video, n_video, H, W)
-            loader = NativeFrameLoader([video], W, H, yuv420=use_yuv)
+
+            # ---- decode ceilings, no device work (VERDICT r4 #1a) ----
+            # e2e is min(decode, transfer, device); these two publish the
+            # decode term: sequential (the reference's capture-thread
+            # model, 1 decoder) and keyframe-striped parallel decode of
+            # the SAME single file (native StripedLoader, byte-equal —
+            # tests/test_striped_decode.py). Timed from construction so
+            # thread spin-up is included.
+            n_probe = min(total_frames, 8 * chunk)
+
+            def _drain(mk, get):
+                t0 = time.time()
+                ld = mk()
+                got = 0
+                while got < n_probe:
+                    g = get(ld)
+                    if g == 0:
+                        break
+                    got += g
+                ld.close()
+                return got / (time.time() - t0)
+
+            decode_only_fps = _drain(
+                lambda: NativeFrameLoader([video], W, H, yuv420=use_yuv),
+                lambda ld: ld.next_chunk(chunk)[2])
+            decode_striped_fps = _drain(
+                lambda: StripedFrameLoader(video, n_workers=stripes,
+                                           stripe_len=64, out_w=W, out_h=H,
+                                           yuv420=use_yuv),
+                lambda ld: ld.next(chunk)[0])
+
+            # ---- the decode->count source: whichever measured faster ----
+            # (striping wins on multi-core production hosts / hard codecs;
+            # on a 1-core host with an easy codec the per-stripe seek
+            # overhead can lose to sequential — both terms are published
+            # either way)
+            if seq_decode or decode_striped_fps <= decode_only_fps:
+                seq_decode = True
+                loader = NativeFrameLoader([video], W, H, yuv420=use_yuv)
+            else:
+                loader = _StripedAsChunks(StripedFrameLoader(
+                    video, n_workers=stripes, stripe_len=64,
+                    out_w=W, out_h=H, yuv420=use_yuv))
         except (RuntimeError, OSError) as e:
             print(f"# native loader unavailable ({e}); falling back to "
                   "synthetic in-memory frames", file=sys.stderr)
@@ -512,7 +573,9 @@ def main():
     probe_ms = _pool_probe_ms()
     resident_fps = chunk / best
 
-    src = "synthetic" if loader is None else "mp4-native-decode"
+    src = ("synthetic" if loader is None else
+           "mp4-native-decode" if seq_decode else
+           f"mp4-striped-decode-x{stripes}")
     if model:
         src += f", weights={os.path.basename(model)}"
     if quantized:
@@ -532,6 +595,18 @@ def main():
         "device_resident_fps": round(resident_fps, 1),
         "transport": "yuv" if use_yuv else "rgb",
         "transfer_ceiling_fps": round(transfer_ceiling_fps, 1),
+        # the three-term e2e model (VERDICT r4 #1c): measured decode
+        # ceiling (sequential AND keyframe-striped single-file parallel),
+        # measured transfer ceiling, measured device-resident compute —
+        # e2e_model_fps = min of the three terms actually in the path
+        "decode_only_fps": (None if decode_only_fps is None
+                            else round(decode_only_fps, 1)),
+        "decode_striped_fps": (None if decode_striped_fps is None
+                               else round(decode_striped_fps, 1)),
+        "decode_stripes": stripes if not seq_decode else 1,
+        "e2e_model_fps": (None if decode_only_fps is None else round(min(
+            decode_only_fps if seq_decode else decode_striped_fps,
+            transfer_ceiling_fps, resident_fps), 1)),
         "compile_s": round(compile_s, 1),
         "cache_hit": compile_s < 30.0,
         "encode_overflow_dets": overflow,

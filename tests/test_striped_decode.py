@@ -1,0 +1,77 @@
+"""Keyframe-striped parallel single-file decode: byte-exactness vs
+sequential decode (VERDICT r4 next #1b).
+
+The striped loader (native/frameloader.cpp StripedLoader) decodes ONE
+file with K threads over interleaved frame stripes, seeking stripe starts
+with FFmpeg's accurate seek. These tests pin the contract that makes it
+usable for count-parity serving: the reassembled global-order frame
+stream is BYTE-EQUAL to a sequential decode of the same file, for K = 1,
+2, 3 workers, across stripe boundaries, under resize, and in YUV mode.
+Reference analog: the sequential capture thread, deepdish.py:79-129.
+"""
+import numpy as np
+import pytest
+
+from deepdish_tpu.utils.native import (NativeFrameLoader,
+                                       StripedFrameLoader, load_library)
+from test_pipeline_e2e import make_video, FRAMES, W, H
+
+pytestmark = pytest.mark.skipif(load_library() is None,
+                                reason="native loader unavailable")
+
+
+@pytest.fixture(scope="module")
+def video(tmp_path_factory):
+    p = tmp_path_factory.mktemp("striped") / "v.mp4"
+    make_video(p)
+    return str(p)
+
+
+def _sequential(video, w, h, yuv=False):
+    frames = []
+    with NativeFrameLoader([video], w, h, yuv420=yuv) as fl:
+        while True:
+            chunk, counts, total = fl.next_chunk(8)
+            if total == 0:
+                break
+            frames.append(chunk[0, :counts[0]])
+    return np.concatenate(frames)
+
+
+@pytest.mark.timeout(300)
+@pytest.mark.parametrize("workers", [1, 2, 3])
+def test_striped_byte_equal_sequential(video, workers):
+    ref = _sequential(video, W, H)
+    assert ref.shape[0] == FRAMES
+    # stripe length 7 deliberately misaligns with the read size 8 and the
+    # video length, exercising seek-reassembly across every boundary
+    with StripedFrameLoader(video, n_workers=workers, stripe_len=7,
+                            out_w=W, out_h=H) as sl:
+        assert sl.total_frames == FRAMES
+        got_frames = []
+        while True:
+            got, chunk = sl.next(8)
+            got_frames.append(chunk[:got])
+            if got < 8:
+                break
+        out = np.concatenate(got_frames)
+    assert out.shape == ref.shape
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.timeout(300)
+def test_striped_resize_and_yuv(video):
+    ref = _sequential(video, W // 2, H // 2, yuv=True)
+    with StripedFrameLoader(video, n_workers=2, stripe_len=5,
+                            out_w=W // 2, out_h=H // 2, yuv420=True) as sl:
+        got, out = sl.next(FRAMES)
+        assert got == FRAMES
+    np.testing.assert_array_equal(out[:got], ref)
+
+
+@pytest.mark.timeout(120)
+def test_striped_open_failure_is_loud(tmp_path):
+    bogus = tmp_path / "nope.mp4"
+    bogus.write_bytes(b"not a video")
+    with pytest.raises(RuntimeError, match="fls_open failed"):
+        StripedFrameLoader(str(bogus), n_workers=2)
