@@ -157,6 +157,7 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
                     max_outputs: int = 32,
                     allow_random_weights: bool = False,
                     quantized: bool = False, detector_int8: bool = False,
+                    calib_images=None,
                     label_allow=None, label_deny=None,
                     max_results: int = -1, **kw):
     """Substring dispatch like deepdish.py:482-502. When `model_name` is an
@@ -383,8 +384,13 @@ def create_detector(model_name: str, wanted_labels=None, label_file=None,
             # real detect.tflite weights) onto the MXU's 2x int8 path.
             # Distinct from --quantized-inference (byte-exact qgraph).
             from .ssd_q import SSDMobileNetInt8Detector
+            # activation scales come from calib_images when supplied
+            # (CLI: --detector-calibration-frames), else the synthetic
+            # default_calibration_images set (ADVICE r4: synthetic-only
+            # calibration is now an explicit, overridable choice)
             det = SSDMobileNetInt8Detector(params=params,
                                            max_outputs=max_outputs,
+                                           calib_images=calib_images,
                                            **det_kw)
         else:
             det = SSDMobileNetDetector(params=params,

@@ -96,7 +96,15 @@ def build_parser() -> argparse.ArgumentParser:
              'detector analog of --encoder-model mars_int8; unlike '
              '--quantized-inference this quantizes float weights for '
              'throughput rather than replaying an integer artifact '
-             'byte-exactly (SSD family only; ignored elsewhere)')
+             'byte-exactly (SSD family only; ignored elsewhere). '
+             'Activation scales are calibrated on a synthetic image set '
+             'by default; pass --detector-calibration-frames for real '
+             'frames')
+    add('--detector-calibration-frames', default=None,
+        help='optional .npy of (N, H, W, 3) float frames (detector input '
+             'size, 0..255) used to calibrate --detector-int8 activation '
+             'scales instead of the synthetic default '
+             '(models/ssd_q.py default_calibration_images)')
     add('--disable-edgetpu', default=False, action='store_true',
         help='(TPU build: selects the CPU jax backend)')
     add('--encoder-model', metavar='FILE', default=None)

@@ -164,6 +164,8 @@ class Pipeline:
                                          False),
             quantized=getattr(args, 'quantized_inference', False),
             detector_int8=getattr(args, 'detector_int8', False),
+            calib_images=self._load_calibration_frames(
+                getattr(args, 'detector_calibration_frames', None)),
             label_allow=_csv(getattr(args, 'label_allow_list', None)),
             label_deny=_csv(getattr(args, 'label_deny_list', None)),
             max_results=getattr(args, 'detector_max_results', -1))
@@ -343,6 +345,22 @@ class Pipeline:
 
         self.t_prev = None
         self.loop = None
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _load_calibration_frames(path):
+        """--detector-calibration-frames: (N, H, W, 3) float .npy of real
+        frames for --detector-int8 activation calibration (default None ->
+        models/ssd_q.py synthetic set). Loud failure on a bad file, same
+        policy as weight loads."""
+        if not path:
+            return None
+        frames = np.load(path)
+        if frames.ndim != 4 or frames.shape[-1] != 3:
+            raise ValueError(
+                f'--detector-calibration-frames {path!r}: expected '
+                f'(N, H, W, 3), got {frames.shape}')
+        return frames.astype(np.float32)
 
     # ------------------------------------------------------------------
     def _init_camera(self):

@@ -67,10 +67,9 @@ def test_quantized_drift_bounded(params, image, float_out):
 @pytest.mark.timeout(600)
 def test_relu6_bound_assumption(params, image):
     """Every quantized layer's input really is bounded by the relu6 max —
-    the no-calibration scheme rests on this."""
-    # the mirror's internal activations are relu6-clipped by construction;
-    # assert the clip is active (outputs actually reach near the bound)
-    # and that quantize_ssd covers exactly the intended layer set.
+    the no-calibration scheme rests on this: layer coverage is exactly the
+    intended set, int8 kernels are in range, and calibrated activation
+    scales never exceed the relu6 hard bound."""
     qp = ssd_q.quantize_ssd(params)
     expect = set(ssd_q._quantized_layers(False))
     assert set(qp["wq"]) == expect
@@ -152,3 +151,38 @@ def test_registry_and_framestep_composition(params):
         0, 256, (2, 72, 96, 3), np.uint8)
     state, out, _ = fs.run_chunk(state, frames)
     assert out.track_id.shape[0] == 2
+
+
+@pytest.mark.timeout(600)
+def test_calibration_frames_plumbing(params, tmp_path):
+    """--detector-calibration-frames: real frames reach quantize_ssd via
+    create_detector(calib_images=...) and change the activation scales
+    relative to the synthetic default (ADVICE r4: calibration source must
+    be overridable, not silently synthetic-only)."""
+    from deepdish_tpu.models.registry import create_detector
+    from deepdish_tpu.pipeline.runtime import Pipeline
+
+    rng = np.random.RandomState(7)
+    # tiny-amplitude frames -> absmax of early conv inputs differs from
+    # the synthetic full-range set
+    frames = (rng.rand(2, INPUT_SIZE, INPUT_SIZE, 3) * 16).astype(
+        np.float32)
+    det_s = create_detector("ssd_mobilenet_int8", max_outputs=8,
+                            params=params)
+    det_r = create_detector("ssd_mobilenet_int8", max_outputs=8,
+                            params=params, calib_images=frames)
+    a_s = det_s.params["ascale"]
+    a_r = det_r.params["ascale"]
+    assert set(a_s) == set(a_r)
+    assert any(abs(float(a_s[k]) - float(a_r[k])) > 1e-6 for k in a_s)
+
+    # the runtime loader: happy path + loud failure on a bad shape
+    p = tmp_path / "calib.npy"
+    np.save(p, frames)
+    loaded = Pipeline._load_calibration_frames(str(p))
+    assert loaded.shape == frames.shape and loaded.dtype == np.float32
+    assert Pipeline._load_calibration_frames(None) is None
+    bad = tmp_path / "bad.npy"
+    np.save(bad, np.zeros((4, 4), np.float32))
+    with pytest.raises(ValueError):
+        Pipeline._load_calibration_frames(str(bad))
