@@ -16,6 +16,8 @@ Every detector exposes the uniform contract:
 from __future__ import annotations
 
 import os
+
+import numpy as np
 from typing import Optional, Sequence
 
 from .ssd_mobilenet import SSDMobileNetDetector
@@ -62,13 +64,39 @@ def _detection_labels(label_file: Optional[str]):
     return {i: n for i, n in enumerate(load_labels(label_file))}
 
 
+def _bright_blob_script(frame_rgb, thresh=150, min_area=400):
+    """Weightless host detector: bright connected components -> person
+    boxes. Makes `--model scripted:bright` produce real detections (and
+    therefore crossings) on the synthetic demo videos
+    (demos/make_demo_video.py draws bright rectangles on a dark
+    background), so the full detect->embed->track->count->publish path can
+    be driven end-to-end with no model artifacts."""
+    import cv2
+    gray = np.asarray(frame_rgb).max(axis=-1)
+    mask = (gray > thresh).astype(np.uint8)
+    n, _, stats, _ = cv2.connectedComponentsWithStats(mask, connectivity=4)
+    boxes, names, scores = [], [], []
+    for i in range(1, n):                      # 0 is background
+        x, y, w, h, area = stats[i]
+        if area >= min_area:
+            boxes.append((float(x), float(y), float(w), float(h)))
+            names.append("person")
+            scores.append(min(1.0, area / (frame_rgb.shape[0]
+                                           * frame_rgb.shape[1])
+                          * 20 + 0.5))
+    return boxes, names, scores
+
+
 #: name -> script registry for `create_detector("scripted:<name>")`; the
 #: test/demo seam analogous to the reference's dummy/constant encoder
-#: backends (tools/generate_detections.py:86-116,182-189). "noop" ships
-#: built-in so `deepdish-tpu --model scripted:noop` smoke-runs the whole
-#: pipeline from a fresh process with no weights and no in-process
-#: registration (packaging/CLI tests drive this path via subprocess).
-SCRIPTS = {"noop": lambda frame_rgb: ([], [], [])}
+#: backends (tools/generate_detections.py:86-116,182-189). "noop" and
+#: "bright" ship built-in so `deepdish-tpu --model scripted:noop` (or
+#: :bright) smoke-runs the whole pipeline from a fresh process with no
+#: weights and no in-process registration (packaging/CLI tests drive this
+#: path via subprocess; the hardware app drive uses :bright for real
+#: crossing events on the synthetic demo).
+SCRIPTS = {"noop": lambda frame_rgb: ([], [], []),
+           "bright": _bright_blob_script}
 
 
 def register_script(name, script):

@@ -78,3 +78,25 @@ def test_console_script_tiny_input_run(tmp_path):
     assert lines, "log file empty"
     assert any("frame_count" in l for l in lines)
     assert any(k.startswith("poscount_") for l in lines for k in l)
+
+
+@pytest.mark.timeout(120)
+def test_bright_script_detects_demo_blobs():
+    """The built-in scripted:bright detector (the weightless hardware app
+    drive's detector) finds bright rectangles on a dark background and
+    routes through create_detector."""
+    cv2 = pytest.importorskip("cv2")  # noqa: F841 (script imports cv2)
+    from deepdish_tpu.models.registry import (ScriptedDetector,
+                                              create_detector)
+    frame = np.full((120, 160, 3), 40, np.uint8)
+    frame[20:80, 30:70] = 220                       # 60x40 bright blob
+    det = create_detector("scripted:bright")
+    assert isinstance(det, ScriptedDetector)
+    boxes, classes, scores = det.detect_host(frame)
+    assert len(boxes) == 1
+    x, y, w, h = boxes[0]
+    assert (x, y, w, h) == (30.0, 20.0, 40.0, 60.0)
+    assert classes == [0] and scores[0] > 0.5
+    # sub-threshold blobs are ignored
+    dim = np.full((120, 160, 3), 40, np.uint8)
+    assert det.detect_host(dim)[0] == []
