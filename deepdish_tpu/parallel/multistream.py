@@ -78,6 +78,14 @@ class MultiStreamEngine:
             in_specs=(P(), P(axis), P(axis)),
             out_specs=P(axis), check_vma=False))
 
+        # YUV-transport variant, built lazily (step_chunk_yuv): planar
+        # I420 chunks from the native loader are half the bytes of RGB on
+        # the host->device link, and the fused program converts on device
+        # (ops/colorspace.yuv420_to_rgb_u8) — same transport the
+        # single-stream bench uses.
+        self._chunk_yuv_jit = None
+        self._convert_yuv_jit = None
+
     def init_tables(self):
         """Stacked (S, ...) pipeline states, sharded over the mesh."""
         one = self.fs.init_state()
@@ -100,3 +108,31 @@ class MultiStreamEngine:
         dispatch. Returns (states, outs, snaps) stacked (S, F, ...)."""
         frames = jax.device_put(frames, self._shard)
         return self._chunk_jit(self.fs._params, states, frames)
+
+    def step_chunk_yuv(self, states, yuv_frames):
+        """yuv_frames: (S, F, H*3/2, W) uint8 planar I420 — the native
+        loader's half-bandwidth transport. Conversion to RGB happens on
+        device inside the fused program. Mirrors FrameStep.run_chunk_yuv,
+        including its int8-detector dispatch split (the round-4
+        int8 x yuv x chunk-32 XLA worker crash workaround,
+        pipeline/framestep.py)."""
+        axis = self.mesh.axis_names[0]
+        yuv_frames = jax.device_put(yuv_frames, self._shard)
+        if self.fs._yuv_split:
+            if self._convert_yuv_jit is None:
+                from ..ops import colorspace
+                h, w = self.fs.frame_h, self.fs.frame_w
+                self._convert_yuv_jit = jax.jit(jax.vmap(jax.vmap(
+                    lambda f: colorspace.yuv420_to_rgb_u8(f, h, w))))
+            frames = self._convert_yuv_jit(yuv_frames)
+            return self._chunk_jit(self.fs._params, states, frames)
+        if self._chunk_yuv_jit is None:
+            def stacked_chunk_yuv(params, states, frames):
+                return jax.vmap(
+                    lambda st, fr: self.fs._run_chunk_yuv(params, st, fr)
+                )(states, frames)
+            self._chunk_yuv_jit = jax.jit(jax.shard_map(
+                stacked_chunk_yuv, mesh=self.mesh,
+                in_specs=(P(), P(axis), P(axis)),
+                out_specs=P(axis), check_vma=False))
+        return self._chunk_yuv_jit(self.fs._params, states, yuv_frames)

@@ -125,3 +125,31 @@ def test_quantized_detector_under_shard_map(rng, tmp_path):
     t, out, _, _ = fs.step(t, frames[3])
     np.testing.assert_array_equal(np.asarray(outs.track_id)[3],
                                   np.asarray(out.track_id))
+
+
+def test_chunked_yuv_matches_single_stream(engine, rng):
+    """step_chunk_yuv (the multi-stream e2e bench transport: planar I420
+    chunks, on-device conversion, VERDICT r4 #6) must evolve each stream's
+    tracker exactly as the single-stream FrameStep.run_chunk_yuv does."""
+    import cv2
+    F = 3
+    H, W = 72, 96
+    rgb = rng.randint(0, 255, size=(16, F, H, W, 3)).astype(np.uint8)
+    yuv = np.stack([np.stack([
+        cv2.cvtColor(cv2.cvtColor(rgb[s, k], cv2.COLOR_RGB2BGR),
+                     cv2.COLOR_BGR2YUV_I420)
+        for k in range(F)]) for s in range(16)])
+    assert yuv.shape == (16, F, H * 3 // 2, W)
+
+    states = engine.init_states()
+    states, outs, _ = engine.step_chunk_yuv(states, yuv)
+    batch_ids = np.asarray(outs.track_id)
+    assert batch_ids.shape == (16, F, 8)
+
+    fs = engine.fs
+    t = fs.init_state()
+    t, out_s, _ = fs.run_chunk_yuv(t, yuv[3])
+    np.testing.assert_array_equal(batch_ids[3], np.asarray(out_s.track_id))
+    np.testing.assert_allclose(np.asarray(states.table.mean)[3],
+                               np.asarray(t.table.mean),
+                               rtol=1e-5, atol=1e-5)
