@@ -175,6 +175,12 @@ def test_counts_match_float_encoder_on_scripted_video(tmp_path, monkeypatch):
     for enc_name in ("mars", "mars-int8"):
         log = tmp_path / f"{enc_name}.log"
         p = _run_pipeline(video, log, monkeypatch, enc_name)
+        # lossless-file invariant: every frame of the input must have been
+        # processed regardless of host load (everyframe / bounded-queue
+        # semantics). If this trips, a count mismatch below is frame loss,
+        # not encoder fidelity — see docs/ROUND5_NOTES.md "load
+        # sensitivity" observation.
+        assert p.frame_count == _FRAMES, (enc_name, p.frame_count)
         counts[enc_name] = {
             k: getattr(p.counting, k)["person"]
             for k in ("poscount", "negcount", "intcount", "delcount")}
