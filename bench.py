@@ -530,20 +530,6 @@ def main():
     stripes = max(1, _arg("--stripes", 4))
     seq_decode = "--seq-decode" in sys.argv
 
-    class _StripedAsChunks:
-        """next_chunk adapter so the striped single-file loader drops into
-        the (1-stream) bench loop."""
-
-        def __init__(self, sl):
-            self.sl = sl
-
-        def next_chunk(self, n):
-            got, frames = self.sl.next(n)
-            return frames[None], np.array([got], np.int32), got
-
-        def close(self):
-            self.sl.close()
-
     loader = None
     decode_only_fps = decode_striped_fps = None
     if not synthetic:
@@ -598,9 +584,9 @@ def main():
                 seq_decode = True
                 loader = NativeFrameLoader([video], W, H, yuv420=use_yuv)
             else:
-                loader = _StripedAsChunks(StripedFrameLoader(
+                loader = StripedFrameLoader(
                     video, n_workers=stripes, stripe_len=64,
-                    out_w=W, out_h=H, yuv420=use_yuv))
+                    out_w=W, out_h=H, yuv420=use_yuv)
         except (RuntimeError, OSError) as e:
             print(f"# native loader unavailable ({e}); falling back to "
                   "synthetic in-memory frames", file=sys.stderr)

@@ -188,6 +188,13 @@ def build_parser() -> argparse.ArgumentParser:
     # --- TPU-native additions ---
     add('--chunk-size', default=1, type=int, metavar='F',
         help='frames per fused device dispatch (throughput mode)')
+    add('--decode-stripes', default=1, type=int, metavar='K',
+        help='decode the (single) input file with K parallel keyframe-'
+             'striped decoder threads (offline mode, needs --chunk-size>1; '
+             'byte-equal to sequential decode). Sequential mp4 decode tops '
+             'out at ~1 core; use K~cores when decode binds throughput. '
+             'Falls back to sequential if the container reports no frame '
+             'count')
     add('--max-tracks', default=64, type=int, metavar='N')
     add('--max-detections', default=32, type=int, metavar='N')
     add('--gallery-size', default=128, type=int, metavar='N')

@@ -391,6 +391,16 @@ class Pipeline:
                 self.everyframe = threading.Event()
             args.disable_powersaving = True
 
+        # loud failure on a mistyped --input path: cv2.VideoCapture on a
+        # missing file "succeeds" with 0 frames, which would look like a
+        # clean 0-count run (same quiet behavior as the reference's
+        # cap.read() loop, deepdish.py:95-129 — deliberately stricter here)
+        if (isinstance(self.input, str) and args.gstreamer is None
+                and not args.gstreamer_nvidia
+                and '://' not in self.input and '%' not in self.input
+                and not os.path.exists(self.input)):
+            raise FileNotFoundError(f'--input file not found: {self.input}')
+
         self.cap = cv2.VideoCapture(self.input)
         self.cap.set(cv2.CAP_PROP_BUFFERSIZE, 1)
         self.input_size = (int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
@@ -431,10 +441,28 @@ class Pipeline:
                 and args.input_cvat_dir is None
                 and not args.camera_flip and self.simcam is None):
             try:
-                from ..utils.native import NativeFrameLoader
+                from ..utils.native import (NativeFrameLoader,
+                                            StripedFrameLoader)
                 w, h = self.input_size
-                self.native_loader = NativeFrameLoader(
-                    [self.input], w, h, yuv420=True)
+                stripes = int(getattr(args, 'decode_stripes', 1) or 1)
+                if stripes > 1:
+                    # keyframe-striped parallel decode of the single input
+                    # file (K decoder threads, frames in global order,
+                    # byte-equal to sequential — tests/test_striped_decode);
+                    # the production decode answer when one core's decode
+                    # rate binds the offline throughput (README, three-term
+                    # e2e model). Falls back to sequential when the
+                    # container reports no frame count.
+                    try:
+                        self.native_loader = StripedFrameLoader(
+                            self.input, n_workers=stripes,
+                            out_w=w, out_h=h, yuv420=True)
+                    except RuntimeError as e:
+                        print(f'Striped decode unavailable ({e}); '
+                              'using the sequential native loader.')
+                if self.native_loader is None:
+                    self.native_loader = NativeFrameLoader(
+                        [self.input], w, h, yuv420=True)
                 self.native_yuv = True
                 if self.cap is not None:
                     self.cap.release()

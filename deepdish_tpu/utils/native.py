@@ -155,6 +155,17 @@ class StripedFrameLoader:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
         return got, out
 
+    # NativeFrameLoader-compatible single-stream chunk interface, so the
+    # striped loader drops into any consumer of the sequential loader
+    # (pipeline/runtime.capture_native, bench.py) unchanged.
+    n_streams = 1
+
+    def next_chunk(self, chunk: int):
+        """(frames (1, chunk, ...), counts (1,) int32, total) — the
+        NativeFrameLoader.next_chunk contract for one stream."""
+        got, frames = self.next(chunk)
+        return frames[None], np.array([got], np.int32), got
+
     def close(self):
         if self._handle:
             self._lib.fls_close(self._handle)

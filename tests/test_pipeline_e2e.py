@@ -202,3 +202,16 @@ def test_pipeline_3d_topdown(tmp_path, monkeypatch):
         "--streaming-port", "0", "--control-port", "0", "--device", "cpu",
     ]))
     assert out_video.exists() and out_video.stat().st_size > 1000
+
+
+def test_missing_input_is_loud(tmp_path):
+    """A mistyped --input path must raise, not 'succeed' with 0 frames
+    (cv2.VideoCapture opens missing files as empty streams)."""
+    import asyncio
+    with pytest.raises(FileNotFoundError, match="nope.mp4"):
+        asyncio.run(amain([
+            "--input", str(tmp_path / "nope.mp4"),
+            "--model", "scripted:noop", "--encoder-model", "dummy",
+            "--disable-graphics", "--streaming-port", "0",
+            "--control-port", "0", "--device", "cpu",
+        ]))

@@ -75,3 +75,59 @@ def test_striped_open_failure_is_loud(tmp_path):
     bogus.write_bytes(b"not a video")
     with pytest.raises(RuntimeError, match="fls_open failed"):
         StripedFrameLoader(str(bogus), n_workers=2)
+
+
+@pytest.mark.timeout(300)
+def test_next_chunk_contract(video):
+    """StripedFrameLoader.next_chunk matches the sequential loader's
+    single-stream chunk contract byte-for-byte, so it drops into
+    capture_native / bench unchanged."""
+    ref = _sequential(video, W, H, yuv=True)
+    got_frames = []
+    with StripedFrameLoader(video, n_workers=2, stripe_len=7,
+                            out_w=W, out_h=H, yuv420=True) as sl:
+        assert sl.n_streams == 1
+        while True:
+            frames, counts, total = sl.next_chunk(8)
+            if total == 0:
+                break
+            assert frames.shape[0] == 1 and counts.shape == (1,)
+            got_frames.append(frames[0, :counts[0]])
+    np.testing.assert_array_equal(np.concatenate(got_frames), ref)
+
+
+@pytest.mark.timeout(900)
+def test_cli_decode_stripes_count_parity(tmp_path):
+    """--decode-stripes K through the real CLI: striped decode must yield
+    the same crossing counters and frame count as sequential decode
+    (byte-equal frames -> identical device-program inputs). Drives the
+    offline chunked path end to end with the built-in scripted:bright
+    detector (no weights)."""
+    import asyncio
+    import json
+    from deepdish_tpu.pipeline.main import amain
+
+    video2 = tmp_path / "v.mp4"
+    make_video(video2)
+
+    results = {}
+    for label, extra in (("seq", []), ("striped", ["--decode-stripes", "3"])):
+        log = tmp_path / f"{label}.log"
+        asyncio.run(amain([
+            "--input", str(video2), "--model", "scripted:bright",
+            "--encoder-model", "dummy", "--wanted-labels", "person",
+            "--chunk-size", "4", "--log", str(log), "--disable-graphics",
+            "--streaming-port", "0", "--control-port", "0",
+            "--device", "cpu", *extra,
+        ]))
+        lines = [json.loads(l) for l in open(log)]
+        assert lines, f"{label}: no log lines"
+        last = lines[-1]
+        results[label] = {k: last[k] for k in
+                          ("poscount_person", "negcount_person",
+                           "intcount_person", "delcount_person",
+                           "frame_count")}
+    assert results["seq"]["intcount_person"] >= 2, results
+    # (frame_count in the log line is the frame of the LAST event, not
+    # EOF — equality across legs is the invariant)
+    assert results["striped"] == results["seq"], results
